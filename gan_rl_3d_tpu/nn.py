@@ -1,0 +1,218 @@
+"""Functional neural-network core.
+
+Every layer is a pair of pure functions:
+
+* ``*_init(key, ...) -> params`` (and for stateful layers ``-> (params, state)``)
+* ``*_apply(params, x, ...) -> y`` (stateful layers return ``(y, new_state)``)
+
+Parameters and state are plain dict pytrees, so they jit/vmap/shard/checkpoint
+without any framework machinery. Mutable-state layers (BatchNorm running
+statistics, spectral-norm power-iteration vectors) thread their state
+explicitly — the JAX-native replacement for torch's module buffers.
+
+Semantics deliberately match torch so that weights converted from the
+reference checkpoints reproduce outputs to ~1e-5 (see
+tests/test_torch_parity.py):
+
+* BatchNorm: eps 1e-5, momentum 0.1, biased variance for normalisation and
+  unbiased variance for the running estimate (torch.nn.BatchNorm1d).
+* LayerNorm: eps 1e-5, elementwise affine (torch.nn.LayerNorm).
+* Spectral norm: one power iteration per training forward on u/v buffers
+  excluded from differentiation; sigma stays differentiable w.r.t. the
+  weight (torch.nn.utils.spectral_norm).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+PRNGKey = jax.Array
+
+# ---------------------------------------------------------------------------
+# Initializers (match the torch defaults the reference relies on)
+# ---------------------------------------------------------------------------
+
+
+def kaiming_uniform(key: PRNGKey, shape: Tuple[int, int], dtype=jnp.float32) -> Array:
+    """torch.nn.Linear / Conv1d default weight init: kaiming_uniform(a=sqrt(5)).
+
+    ``shape`` is (fan_in, fan_out); the bound reduces to 1/sqrt(fan_in).
+    """
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def xavier_uniform(key: PRNGKey, shape: Tuple[int, int], dtype=jnp.float32) -> Array:
+    """torch.nn.init.xavier_uniform_ for a (fan_in, fan_out) weight."""
+    fan_in, fan_out = shape[0], shape[1]
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def torch_bias_uniform(key: PRNGKey, fan_in: int, out_dim: int, dtype=jnp.float32) -> Array:
+    """torch.nn.Linear default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, (out_dim,), dtype, minval=-bound, maxval=bound)
+
+
+# ---------------------------------------------------------------------------
+# Dense (torch Linear / 1x1 Conv1d — identical math on a channels-last layout)
+# ---------------------------------------------------------------------------
+
+
+def dense_init(
+    key: PRNGKey,
+    in_dim: int,
+    out_dim: int,
+    *,
+    w_init: Callable = kaiming_uniform,
+    bias_const: float | None = None,
+    dtype=jnp.float32,
+) -> dict:
+    """Weights are stored (in_dim, out_dim) — the natural layout for x @ w on
+    the MXU. ``bias_const`` overrides the default torch bias init (the
+    reference's actor/critic use constant 0.01, rl_agent.py:53-58,103-108).
+    """
+    kw, kb = jax.random.split(key)
+    w = w_init(kw, (in_dim, out_dim), dtype)
+    if bias_const is not None:
+        b = jnp.full((out_dim,), bias_const, dtype)
+    else:
+        b = torch_bias_uniform(kb, in_dim, out_dim, dtype)
+    return {"w": w, "b": b}
+
+
+def dense_apply(params: dict, x: Array) -> Array:
+    return jnp.dot(x, params["w"], preferred_element_type=x.dtype) + params["b"]
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm (torch.nn.BatchNorm1d semantics, channels-last)
+# ---------------------------------------------------------------------------
+
+
+def batchnorm_init(dim: int, dtype=jnp.float32) -> Tuple[dict, dict]:
+    params = {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+    state = {"mean": jnp.zeros((dim,), dtype), "var": jnp.ones((dim,), dtype)}
+    return params, state
+
+
+def batchnorm_apply(
+    params: dict,
+    state: dict,
+    x: Array,
+    *,
+    training: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+) -> Tuple[Array, dict]:
+    """Normalise over every axis except the last (channel) axis.
+
+    For (B, C) inputs this matches torch BatchNorm1d over B; for our
+    channels-last point features (B, N, C) it matches torch's (B, C, N)
+    normalisation over (B, N).
+    """
+    if training:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)
+        n = x.size // x.shape[-1]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1.0 - momentum) * state["mean"] + momentum * mean,
+            "var": (1.0 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean) * (inv * params["scale"]) + params["bias"]
+    return y, new_state
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm
+# ---------------------------------------------------------------------------
+
+
+def layernorm_init(dim: int, dtype=jnp.float32) -> dict:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layernorm_apply(params: dict, x: Array, *, eps: float = 1e-5) -> Array:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * params["scale"] + params["bias"]
+
+
+# ---------------------------------------------------------------------------
+# Dropout
+# ---------------------------------------------------------------------------
+
+
+def dropout(key: PRNGKey, x: Array, rate: float, *, training: bool) -> Array:
+    if not training or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Spectral normalisation (explicit power-iteration state)
+# ---------------------------------------------------------------------------
+
+
+def spectral_norm_init(key: PRNGKey, w_shape: Tuple[int, int], dtype=jnp.float32) -> dict:
+    """State holds the left/right singular-vector estimates.
+
+    torch's spectral_norm works on the (out, in) weight with u in R^out;
+    our weights are (in, out), so u estimates the *output*-side vector
+    (length out_dim) and v the input side — the same vectors, same sigma.
+    """
+    in_dim, out_dim = w_shape
+    ku, kv = jax.random.split(key)
+    u = jax.random.normal(ku, (out_dim,), dtype)
+    v = jax.random.normal(kv, (in_dim,), dtype)
+    u = u / (jnp.linalg.norm(u) + 1e-12)
+    v = v / (jnp.linalg.norm(v) + 1e-12)
+    return {"u": u, "v": v}
+
+
+def spectral_norm_apply(
+    w: Array,
+    state: dict,
+    *,
+    training: bool,
+    n_iter: int = 1,
+    eps: float = 1e-12,
+) -> Tuple[Array, dict]:
+    """Return w / sigma(w) and the updated power-iteration state.
+
+    u/v are treated as constants for differentiation (stop_gradient), while
+    sigma = u^T w v stays a function of w — matching torch, where u/v are
+    buffers but the weight is live inside sigma, so WGAN-GP's double
+    backward flows through w / (u^T w v).
+    """
+    u = jax.lax.stop_gradient(state["u"])  # (out,)
+    v = jax.lax.stop_gradient(state["v"])  # (in,)
+    if training:
+        w_c = jax.lax.stop_gradient(w)
+        for _ in range(n_iter):
+            # torch order (W=(out,in)): v = normalize(W^T u); u = normalize(W v)
+            v = w_c @ u  # (in,out) @ (out,) -> (in,)
+            v = v / (jnp.linalg.norm(v) + eps)
+            u = v @ w_c  # (in,) @ (in,out) -> (out,)
+            u = u / (jnp.linalg.norm(u) + eps)
+        new_state = {"u": u, "v": v}
+    else:
+        new_state = state
+    sigma = jnp.dot(v, w @ u)  # = u^T W v in torch's layout
+    return w / sigma, new_state

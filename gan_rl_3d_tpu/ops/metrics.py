@@ -1,0 +1,100 @@
+"""Evaluation metrics.
+
+The reference config lists chamfer_distance, completion_ratio and
+hausdorff_distance (configs/config.yaml:113) but never implements the latter
+two, and its README quotes EMD / F-Score numbers with no implementation
+(README.md:302-305). Here they are implemented for real so evaluation can
+report every configured metric.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gan_rl_3d_tpu.ops.chamfer import chamfer_distance, nearest_distances
+
+Array = jax.Array
+
+
+def hausdorff_distance(a: Array, b: Array) -> Array:
+    """Symmetric Hausdorff distance per cloud: max over directed
+    max-of-nearest distances. Shapes (B, N, 3), (B, M, 3) -> (B,)."""
+    d_ab, _ = nearest_distances(a, b)
+    d_ba, _ = nearest_distances(b, a)
+    return jnp.maximum(jnp.max(d_ab, axis=1), jnp.max(d_ba, axis=1))
+
+
+def f_score(pred: Array, target: Array, threshold: float = 0.01) -> Array:
+    """F1 of precision (pred points within tau of target) and recall
+    (target points within tau of pred) — the standard completion F-score."""
+    d_pt, _ = nearest_distances(pred, target)
+    d_tp, _ = nearest_distances(target, pred)
+    precision = jnp.mean((d_pt < threshold).astype(jnp.float32), axis=1)
+    recall = jnp.mean((d_tp < threshold).astype(jnp.float32), axis=1)
+    return 2.0 * precision * recall / jnp.maximum(precision + recall, 1e-8)
+
+
+def completion_ratio(pred: Array, target: Array, threshold: float = 0.03) -> Array:
+    """Fraction of ground-truth points that have a predicted point within
+    ``threshold`` — how much of the shape got covered."""
+    d_tp, _ = nearest_distances(target, pred)
+    return jnp.mean((d_tp < threshold).astype(jnp.float32), axis=1)
+
+
+def emd_sinkhorn(a: Array, b: Array, *, epsilon: float = 0.02,
+                 iters: int = 50) -> Array:
+    """Entropy-regularised EMD (Sinkhorn) between equal-size clouds.
+
+    A real (approximate) optimal-transport distance, replacing the
+    reference's sort-of-coordinates stand-in (utils/losses.py:78-103).
+    Uses log-domain updates for stability; O(N^2) per cloud, eval-only.
+    """
+    n = a.shape[-2]
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1, keepdims=True)
+    cost = jnp.sqrt(jnp.maximum(
+        a2 + jnp.swapaxes(b2, -1, -2)
+        - 2.0 * jnp.einsum("...nc,...mc->...nm", a, b), 0.0))
+    log_mu = -jnp.log(n) * jnp.ones(cost.shape[:-1])
+    log_nu = -jnp.log(n) * jnp.ones(cost.shape[:-2] + cost.shape[-1:])
+    f = jnp.zeros_like(log_mu)
+    g = jnp.zeros_like(log_nu)
+
+    def body(_, fg):
+        f, g = fg
+        f = epsilon * (log_mu - jax.nn.logsumexp(
+            (g[..., None, :] - cost) / epsilon, axis=-1))
+        g = epsilon * (log_nu - jax.nn.logsumexp(
+            (f[..., :, None] - cost) / epsilon, axis=-2))
+        return f, g
+
+    f, g = jax.lax.fori_loop(0, iters, body, (f, g))
+    # with these updates the row constraint sum_j P_ij = mu_i is already
+    # satisfied by P = exp((f_i + g_j - C_ij) / eps)
+    plan = jnp.exp((f[..., :, None] + g[..., None, :] - cost) / epsilon)
+    return jnp.sum(plan * cost, axis=(-2, -1))
+
+
+def evaluate_completion(
+    pred: Array,
+    target: Array,
+    metrics: tuple = ("chamfer_distance", "completion_ratio",
+                      "hausdorff_distance"),
+    fscore_threshold: float = 0.01,
+) -> Dict[str, Array]:
+    """Batch-mean metric dict for a completion result."""
+    out = {}
+    if "chamfer_distance" in metrics:
+        out["chamfer_distance"] = jnp.mean(chamfer_distance(pred, target))
+    if "hausdorff_distance" in metrics:
+        out["hausdorff_distance"] = jnp.mean(hausdorff_distance(pred, target))
+    if "completion_ratio" in metrics:
+        out["completion_ratio"] = jnp.mean(completion_ratio(pred, target))
+    if "f_score" in metrics:
+        out["f_score"] = jnp.mean(f_score(pred, target, fscore_threshold))
+    if "emd" in metrics:
+        out["emd"] = jnp.mean(emd_sinkhorn(pred, target))
+    return out

@@ -1,0 +1,210 @@
+"""Point-cloud transforms as pure, jittable functions of a PRNG key.
+
+The reference does per-sample numpy/torch preprocessing inside DataLoader
+workers (reference utils/data_utils.py:15-228, utils/dataset.py:151-297).
+Here every transform is a fixed-shape jnp function, so augmentation,
+hole-cutting and normalisation run *on device inside the jitted train step*,
+batched over the mesh — the host pipeline only does file IO.
+
+Fixed shapes: "incomplete" clouds keep the full (N, 3) shape. The kept points
+are gathered to the front, the tail is filled by cyclically repeating kept
+points (same semantics as the reference's pad-by-repeat collate,
+utils/dataset.py:399-421), and a validity mask marks the real points.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+PRNGKey = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Normalisation (reference utils/data_utils.py:15-71)
+# ---------------------------------------------------------------------------
+
+
+def normalize_unit_sphere(pc: Array, mask: Optional[Array] = None) -> Array:
+    """Centre at the (valid-point) centroid and scale into the unit sphere.
+
+    pc: (..., N, 3); mask: optional (..., N) validity weights.
+    """
+    if mask is None:
+        centroid = jnp.mean(pc, axis=-2, keepdims=True)
+    else:
+        w = mask[..., None]
+        centroid = jnp.sum(pc * w, axis=-2, keepdims=True) / jnp.maximum(
+            jnp.sum(w, axis=-2, keepdims=True), 1.0
+        )
+    centered = pc - centroid
+    norms = jnp.linalg.norm(centered, axis=-1)
+    if mask is not None:
+        norms = norms * mask
+    scale = jnp.max(norms, axis=-1, keepdims=True)[..., None]
+    return jnp.where(scale > 0, centered / jnp.where(scale > 0, scale, 1.0), centered)
+
+
+def center(pc: Array) -> Array:
+    return pc - jnp.mean(pc, axis=-2, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Augmentation (reference utils/data_utils.py:74-163)
+# ---------------------------------------------------------------------------
+
+
+def random_rotation_matrix(key: PRNGKey, dtype=jnp.float32) -> Array:
+    """Composed random Euler rotation Rz @ Ry @ Rx, angles U(0, 2pi)."""
+    theta = jax.random.uniform(key, (3,), dtype, 0.0, 2.0 * jnp.pi)
+    cx, sx = jnp.cos(theta[0]), jnp.sin(theta[0])
+    cy, sy = jnp.cos(theta[1]), jnp.sin(theta[1])
+    cz, sz = jnp.cos(theta[2]), jnp.sin(theta[2])
+    rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]], dtype)
+    ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], dtype)
+    rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], dtype)
+    return rz @ ry @ rx
+
+
+def rotate(pc: Array, rotation: Array) -> Array:
+    """pc (..., N, 3) @ R^T, matching `pc @ rotation_matrix.T`."""
+    return jnp.einsum("...nc,dc->...nd", pc, rotation)
+
+
+def jitter(key: PRNGKey, pc: Array, sigma: float = 0.01, clip: float = 0.05) -> Array:
+    noise = jnp.clip(sigma * jax.random.normal(key, pc.shape, pc.dtype), -clip, clip)
+    return pc + noise
+
+
+def random_scale(key: PRNGKey, pc: Array, low: float = 0.8, high: float = 1.2) -> Array:
+    s = jax.random.uniform(key, (), pc.dtype, low, high)
+    return pc * s
+
+
+def augment(
+    key: PRNGKey,
+    pc: Array,
+    *,
+    p_rotate: float = 0.5,
+    p_jitter: float = 0.5,
+    p_scale: float = 0.3,
+    rotation: Optional[Array] = None,
+) -> Array:
+    """Stochastic rotate / jitter / scale for one (N, 3) cloud.
+
+    Probabilities follow reference utils/dataset.py:278-297. Pass a shared
+    ``rotation`` to apply the *same* rotation to paired clouds — the
+    reference augments complete/incomplete independently (dataset.py:165-166),
+    which decorrelates the AE target from its input; callers here share the
+    transform by default (see ops.holes.make_training_pair).
+    """
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    rot = rotation if rotation is not None else random_rotation_matrix(k4, pc.dtype)
+    do_rot = jax.random.uniform(k1) < p_rotate
+    pc = jnp.where(do_rot, rotate(pc, rot), pc)
+    do_jit = jax.random.uniform(k2) < p_jitter
+    pc = jnp.where(do_jit, jitter(k5, pc), pc)
+    do_scale = jax.random.uniform(k3) < p_scale
+    s = jax.random.uniform(k3, (), pc.dtype, 0.8, 1.2)
+    pc = jnp.where(do_scale, pc * s, pc)
+    return pc
+
+
+# ---------------------------------------------------------------------------
+# Hole cutting with fixed output shapes (reference utils/dataset.py:252-276,
+# utils/data_utils.py:166-228)
+# ---------------------------------------------------------------------------
+
+
+def _keep_reorder(pc: Array, score: Array, n_keep: Array) -> Tuple[Array, Array]:
+    """Keep the n_keep lowest-score points, gathered to the front; fill the
+    tail by cyclically repeating kept points. Returns (pc_out, mask)."""
+    n = pc.shape[0]
+    order = jnp.argsort(score)  # kept points first
+    ranks = jnp.arange(n)
+    src = jnp.where(ranks < n_keep, ranks, ranks % jnp.maximum(n_keep, 1))
+    out = pc[order[src]]
+    mask = (ranks < n_keep).astype(pc.dtype)
+    return out, mask
+
+
+def cut_holes(
+    key: PRNGKey,
+    pc: Array,
+    *,
+    min_ratio: float = 0.2,
+    max_ratio: float = 0.5,
+    methods: Tuple[str, ...] = ("random", "sphere"),
+) -> Tuple[Array, Array]:
+    """Remove a random 20-50% of one (N, 3) cloud by a randomly chosen method.
+
+    Methods mirror the reference: "random" drops uniform points; "sphere"
+    drops a ball around a random surface point (dataset.py:259-276); "plane"
+    drops one side of a random plane (data_utils.py:191-197). Output keeps
+    the (N, 3) shape: removed slots are repeats of kept points, and the mask
+    flags the genuinely observed points.
+    """
+    n = pc.shape[0]
+    k_ratio, k_method, k_rand, k_center, k_normal = jax.random.split(key, 5)
+    ratio = jax.random.uniform(k_ratio, (), jnp.float32, min_ratio, max_ratio)
+    n_keep = jnp.floor(n * (1.0 - ratio)).astype(jnp.int32)
+
+    scores = []
+    for m in methods:
+        if m == "random":
+            scores.append(jax.random.uniform(k_rand, (n,)))
+        elif m == "sphere":
+            ci = jax.random.randint(k_center, (), 0, n)
+            c = pc[ci]
+            dist = jnp.linalg.norm(pc - c, axis=-1)
+            # keep the *farthest* points -> low score = far
+            scores.append(-dist)
+        elif m == "plane":
+            normal = jax.random.normal(k_normal, (3,))
+            normal = normal / (jnp.linalg.norm(normal) + 1e-12)
+            signed = (pc - jnp.mean(pc, axis=0)) @ normal
+            scores.append(-signed)
+        else:
+            raise ValueError(f"unknown hole method {m!r}")
+    method_idx = jax.random.randint(k_method, (), 0, len(scores))
+    score = jnp.select([method_idx == i for i in range(len(scores))], scores)
+    return _keep_reorder(pc, score, n_keep)
+
+
+def make_training_pair(
+    key: PRNGKey,
+    complete: Array,
+    *,
+    augment_prob: Tuple[float, float, float] = (0.5, 0.5, 0.3),
+    do_augment: bool = True,
+    hole_ratio: Tuple[float, float] = (0.2, 0.5),
+) -> Tuple[Array, Array, Array]:
+    """Full on-device preprocessing for one (N, 3) complete cloud: cut holes,
+    augment (shared transform across the pair), unit-sphere normalise.
+
+    Returns (complete, incomplete, incomplete_mask). vmap over the batch and
+    fold into the jitted train step.
+    """
+    k_hole, k_aug, k_rot = jax.random.split(key, 3)
+    incomplete, mask = cut_holes(
+        k_hole, complete, min_ratio=hole_ratio[0], max_ratio=hole_ratio[1]
+    )
+    if do_augment:
+        p_rot, p_jit, p_scale = augment_prob
+        rot = random_rotation_matrix(k_rot, complete.dtype)
+        complete = augment(k_aug, complete, p_rotate=p_rot, p_jitter=p_jit,
+                           p_scale=p_scale, rotation=rot)
+        incomplete = augment(k_aug, incomplete, p_rotate=p_rot, p_jitter=p_jit,
+                             p_scale=p_scale, rotation=rot)
+    complete = normalize_unit_sphere(complete)
+    incomplete = normalize_unit_sphere(incomplete, mask)
+    return complete, incomplete, mask
+
+
+def make_training_batch(key: PRNGKey, complete: Array, **kwargs):
+    """Batched make_training_pair: complete (B, N, 3) -> per-sample keys."""
+    keys = jax.random.split(key, complete.shape[0])
+    return jax.vmap(lambda k, pc: make_training_pair(k, pc, **kwargs))(keys, complete)
