@@ -1,0 +1,259 @@
+"""Typed configuration, YAML-compatible with the reference's configs.
+
+The reference loads YAML into a raw dict and hand-casts strings
+(train_rl_gan_net.py:42-43,72-101); many knobs are silently dead (d_steps,
+lambda_gp, the RL noise parameters, max_steps_per_episode — SURVEY.md §5).
+Here the same YAML schema parses into frozen dataclasses, *every* knob is
+wired into the pipeline, and unknown keys produce a warning instead of
+silently doing nothing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import yaml
+
+from gan_rl_3d_tpu.models.rl_agent import TD3Config
+
+log = logging.getLogger(__name__)
+
+
+def _tuple(x) -> Tuple:
+    return tuple(x) if isinstance(x, (list, tuple)) else (x,)
+
+
+@dataclass(frozen=True)
+class AutoencoderModelConfig:
+    input_dim: int = 3
+    latent_dim: int = 128
+    num_points: int = 2048
+    encoder_dims: Tuple[int, ...] = (64, 128, 128, 256, 128)
+    decoder_dims: Tuple[int, ...] = (256, 256, 6144)
+
+
+@dataclass(frozen=True)
+class LGANModelConfig:
+    z_dim: int = 1
+    latent_dim: int = 128
+    generator_dims: Tuple[int, ...] = (256, 512, 512, 256, 128)
+    discriminator_dims: Tuple[int, ...] = (128, 256, 512, 256, 1)
+    spectral_norm: bool = True
+
+
+@dataclass(frozen=True)
+class RLAgentModelConfig:
+    state_dim: int = 128
+    action_dim: int = 1
+    hidden_dims: Tuple[int, ...] = (400, 400, 300, 300)
+    actor_lr: float = 1e-4
+    critic_lr: float = 1e-3
+    tau: float = 0.005
+    gamma: float = 0.99
+    buffer_size: int = 100000
+    batch_size: int = 64
+
+
+@dataclass(frozen=True)
+class AETrainConfig:
+    epochs: int = 100
+    batch_size: int = 32
+    lr: float = 1e-3
+    weight_decay: float = 1e-5
+    scheduler_step: int = 30
+    scheduler_gamma: float = 0.1
+
+
+@dataclass(frozen=True)
+class LGANTrainConfig:
+    epochs: int = 200
+    batch_size: int = 50
+    generator_lr: float = 1e-4
+    discriminator_lr: float = 1e-4
+    beta1: float = 0.5
+    beta2: float = 0.9
+    lambda_gp: float = 10.0
+    d_steps: int = 5
+
+
+@dataclass(frozen=True)
+class RLTrainConfig:
+    episodes: int = 1000
+    max_steps_per_episode: int = 10
+    exploration_noise: float = 0.1
+    policy_noise: float = 0.2
+    noise_clip: float = 0.5
+    policy_delay: int = 2
+    start_training_steps: int = 1000
+    # TPU addition: how many environment instances run per vmapped step
+    envs_per_step: int = 32
+
+
+@dataclass(frozen=True)
+class JointTrainConfig:
+    enabled: bool = True
+    epochs: int = 50
+    lr: float = 1e-4
+    weight_decay: float = 1e-5
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    device: str = "tpu"
+    seed: int = 42
+    batch_size: int = 32
+    num_workers: int = 4
+    checkpoint_dir: str = "./checkpoints"
+    log_dir: str = "./logs"
+    results_dir: str = "./results"
+    autoencoder: AETrainConfig = field(default_factory=AETrainConfig)
+    lgan: LGANTrainConfig = field(default_factory=LGANTrainConfig)
+    rl_agent: RLTrainConfig = field(default_factory=RLTrainConfig)
+    joint: JointTrainConfig = field(default_factory=JointTrainConfig)
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    w_chamfer: float = 100.0
+    w_gfv: float = 10.0
+    w_discriminator: float = 0.01
+    chamfer_loss: str = "bidirectional"
+    reconstruction_loss: str = "chamfer"
+
+
+@dataclass(frozen=True)
+class AugmentationConfig:
+    rotation: bool = True
+    jitter: bool = True
+    scale: bool = True
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_dir: str = "./data/shapenet"
+    train_split: float = 0.8
+    val_split: float = 0.1
+    test_split: float = 0.1
+    augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
+    normalize: bool = True
+    center: bool = True
+    unit_sphere: bool = True
+
+
+@dataclass(frozen=True)
+class EvaluationConfig:
+    metrics: Tuple[str, ...] = ("chamfer_distance", "completion_ratio",
+                                "hausdorff_distance")
+    save_visualizations: bool = True
+    eval_frequency: int = 10
+
+
+@dataclass(frozen=True)
+class LoggingConfig:
+    use_tensorboard: bool = True
+    use_wandb: bool = False
+    project_name: str = "RL-GAN-Net"
+    log_frequency: int = 100
+    save_model_frequency: int = 10
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    autoencoder: AutoencoderModelConfig = field(
+        default_factory=AutoencoderModelConfig)
+    lgan: LGANModelConfig = field(default_factory=LGANModelConfig)
+    rl_agent: RLAgentModelConfig = field(default_factory=RLAgentModelConfig)
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+
+    def td3_config(self) -> TD3Config:
+        """Wire model.rl_agent + training.rl_agent into the TD3 step config.
+
+        The reference constructs DDPGAgent without passing the training.*
+        noise knobs (rl_gan_net.py:77-89), silently using constructor
+        defaults; here they are honoured.
+        """
+        m, t = self.model.rl_agent, self.training.rl_agent
+        return TD3Config(
+            state_dim=m.state_dim,
+            action_dim=m.action_dim,
+            actor_hidden=m.hidden_dims,
+            critic_hidden=m.hidden_dims,
+            actor_lr=m.actor_lr,
+            critic_lr=m.critic_lr,
+            gamma=m.gamma,
+            tau=m.tau,
+            batch_size=m.batch_size,
+            exploration_noise=t.exploration_noise,
+            policy_noise=t.policy_noise,
+            noise_clip=t.noise_clip,
+            policy_delay=t.policy_delay,
+        )
+
+
+_TUPLE_FIELDS = {"encoder_dims", "decoder_dims", "generator_dims",
+                 "discriminator_dims", "hidden_dims", "metrics"}
+
+
+def _build(cls, raw: Dict[str, Any], path: str = ""):
+    """Recursively build a dataclass from a raw dict, coercing numeric
+    strings (YAML '1e-4' parses as str) and warning on unknown keys."""
+    if raw is None:
+        return cls()
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in raw.items():
+        if key not in fields:
+            if key not in ("paths",):  # reference 'paths' block is redundant
+                log.warning("config: ignoring unknown key %s%s", path, key)
+            continue
+        f = fields[key]
+        # with `from __future__ import annotations` field types are strings
+        sub_cls = globals().get(f.type) if isinstance(f.type, str) else f.type
+        if key in _TUPLE_FIELDS:
+            kwargs[key] = _tuple(value)
+        elif dataclasses.is_dataclass(sub_cls):
+            kwargs[key] = _build(sub_cls, value, path=f"{path}{key}.")
+        elif f.type in (float, "float"):
+            kwargs[key] = float(value)
+        elif f.type in (bool, "bool"):
+            kwargs[key] = bool(value)
+        elif f.type in (int, "int"):
+            kwargs[key] = int(value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def load_config(path: Optional[str] = None,
+                overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """Load a reference-schema YAML into a typed Config."""
+    raw: Dict[str, Any] = {}
+    if path is not None:
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+    if overrides:
+        raw = _deep_merge(raw, overrides)
+    return _build(Config, raw)
+
+
+def _deep_merge(base: Dict, extra: Dict) -> Dict:
+    out = dict(base)
+    for k, v in extra.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
