@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""End-to-end completion throughput benchmark (the north-star metric).
+
+Measures clouds/sec through the full jitted inference path — encoder ->
+actor -> generator -> decoder -> discriminator-gated hybrid output — on
+2048-point clouds, matching what the reference measured at ~25 clouds/sec
+on Apple-Silicon MPS (results/results_viewer.html:40; BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_CLOUDS_PER_SEC = 25.0  # reference results_viewer.html:40
+
+
+def _timed(fn_chain, warm_out, iters: int) -> float:
+    """Wall time per iteration with REAL device synchronisation.
+
+    On the axon tunnel platform `block_until_ready()` returns before the
+    device has actually executed (measured: apparent 40 PFLOP/s); only a
+    host fetch of a value truly waits. So each timing region ends with a
+    scalar fetch of a reduction over the final output.
+    """
+    _ = float(jnp.sum(warm_out))  # warm + sync
+    t0 = time.perf_counter()
+    out = fn_chain(iters)
+    _ = float(jnp.sum(out))  # forces execution of the whole chain
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_completion(batch_sizes=(256, 512, 1024, 2048),
+                     iters: int = 20) -> float:
+    from gan_rl_3d_tpu.config import Config
+    from gan_rl_3d_tpu.models import rl_gan_net as net
+
+    config = Config()
+    td3 = config.td3_config()
+    model = net.init_model(jax.random.PRNGKey(0), config)
+
+    fn = jax.jit(lambda m, x: net.complete(m, x, cfg=td3)["hybrid_output"])
+
+    best = 0.0
+    for bsz in batch_sizes:
+        pc = jax.random.normal(jax.random.PRNGKey(1), (bsz, 2048, 3),
+                               jnp.float32)
+
+        def chain(n, pc=pc):
+            # output feeds next input: the chain cannot be parallelised or
+            # elided, so wall time == n real end-to-end executions
+            x = pc
+            for _ in range(n):
+                x = fn(model, x)
+            return x
+
+        dt = _timed(chain, fn(model, pc), iters)
+        rate = bsz / dt
+        print(f"# batch {bsz}: {dt * 1e3:.2f} ms -> {rate:,.0f} clouds/s",
+              flush=True)
+        best = max(best, rate)
+    return best
+
+
+def main():
+    rate = bench_completion()
+    print(json.dumps({
+        "metric": "completion_throughput",
+        "value": round(rate, 1),
+        "unit": "clouds/sec",
+        "vs_baseline": round(rate / BASELINE_CLOUDS_PER_SEC, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

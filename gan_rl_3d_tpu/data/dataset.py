@@ -1,0 +1,300 @@
+"""ShapeNet dataset: multi-format loading, index caching, batch iteration.
+
+Capability parity with reference ShapeNetDataset/create_dataloader
+(utils/dataset.py:23-461): scans a directory tree for .ply/.pts/.txt/.h5
+clouds, caches the file index as ``{split}_data.json``, maps category IDs,
+and resamples every cloud to a fixed point count.
+
+TPU-first differences:
+* __getitem__ returns the *complete* cloud only — hole-cutting,
+  augmentation and normalisation are pure jnp transforms applied on device
+  inside the train step (ops.pointcloud.make_training_batch), so batches
+  are fixed-shape and the host never blocks on per-sample torch work.
+* An optional in-memory cache holds the whole (resampled) dataset as one
+  contiguous float32 array — the synthetic dataset is ~50 MB, so epochs
+  iterate at memcpy speed instead of re-parsing text files.
+* A C++ fast-path loader (gan_rl_3d_tpu.runtime) accelerates text parsing
+  when built; numpy is the fallback.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from gan_rl_3d_tpu.data.synthetic import create_synthetic_dataset
+
+CATEGORY_MAPPING = {
+    "airplane": "02691156",
+    "car": "02958343",
+    "chair": "03001627",
+    "lamp": "03636649",
+    "sofa": "04256520",
+    "table": "04379243",
+    "watercraft": "04530566",
+    "cabinet": "02933112",
+}
+
+
+# ---------------------------------------------------------------------------
+# File loaders (reference utils/dataset.py:189-250)
+# ---------------------------------------------------------------------------
+
+
+def load_ply(path: Path) -> np.ndarray:
+    """ASCII PLY vertex loader (same format as the reference's committed
+    results/point_clouds/*.ply: x y z [r g b])."""
+    with open(path) as f:
+        lines = f.readlines()
+    start = 0
+    for i, line in enumerate(lines):
+        if line.strip() == "end_header":
+            start = i + 1
+            break
+    pts = []
+    for line in lines[start:]:
+        parts = line.split()
+        if len(parts) >= 3:
+            try:
+                pts.append([float(parts[0]), float(parts[1]), float(parts[2])])
+            except ValueError:
+                continue
+    return np.asarray(pts, np.float32)
+
+
+def load_txt(path: Path) -> np.ndarray:
+    try:
+        from gan_rl_3d_tpu.runtime import parse_xyz_file  # C++ fast path
+        return parse_xyz_file(str(path))
+    except (ImportError, OSError):
+        return np.loadtxt(path).astype(np.float32)[:, :3]
+
+
+def load_h5(path: Path) -> np.ndarray:
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        for key in ("data", "points"):
+            if key in f:
+                return np.asarray(f[key], np.float32).reshape(-1, 3)
+        key = list(f.keys())[0]
+        return np.asarray(f[key], np.float32).reshape(-1, 3)
+
+
+def load_point_cloud(path: str) -> np.ndarray:
+    p = Path(path)
+    if p.suffix == ".ply":
+        return load_ply(p)
+    if p.suffix in (".txt", ".pts"):
+        return load_txt(p)
+    if p.suffix == ".h5":
+        return load_h5(p)
+    raise ValueError(f"unsupported point-cloud format: {p.suffix}")
+
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+
+
+class ShapeNetDataset:
+    """Fixed-size point-cloud dataset over a directory tree."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        split: str = "train",
+        num_points: int = 2048,
+        categories: Optional[Sequence[str]] = None,
+        cache_in_memory: bool = True,
+        seed: int = 0,
+    ):
+        self.data_dir = Path(data_dir)
+        self.split = split
+        self.num_points = num_points
+        self.categories = list(categories) if categories else None
+        self._rng = np.random.RandomState(seed)
+        self.files = self._load_index()
+        self._cache: Optional[np.ndarray] = None
+        self._cache_lock = threading.Lock()
+        if cache_in_memory:
+            self._build_cache()
+
+    # -- index ------------------------------------------------------------
+
+    def _load_index(self) -> List[Dict]:
+        index_file = self.data_dir / f"{self.split}_data.json"
+        if index_file.exists():
+            with open(index_file) as f:
+                files = json.load(f)
+        else:
+            files = self._scan()
+            if files:
+                index_file.parent.mkdir(parents=True, exist_ok=True)
+                with open(index_file, "w") as f:
+                    json.dump(files, f, indent=2)
+        if self.categories:
+            ids = [CATEGORY_MAPPING.get(c, c) for c in self.categories]
+            wanted = set(ids) | set(self.categories)
+            files = [e for e in files
+                     if e["category"] in wanted
+                     or any(i in e["path"] for i in ids)]
+        return files
+
+    def _scan(self) -> List[Dict]:
+        files = []
+        for ext in ("*.ply", "*.pts", "*.txt", "*.h5"):
+            for p in sorted(self.data_dir.rglob(ext)):
+                if self.split in str(p).lower():
+                    files.append({
+                        "path": str(p),
+                        "category": self._category_of(p),
+                        "model_id": p.stem,
+                    })
+        return files
+
+    @staticmethod
+    def _category_of(path: Path) -> str:
+        for part in path.parts:
+            if part in CATEGORY_MAPPING:
+                return part
+            for name, cid in CATEGORY_MAPPING.items():
+                if part == cid:
+                    return name
+        return "unknown"
+
+    # -- loading ----------------------------------------------------------
+
+    def _resample(self, pc: np.ndarray) -> np.ndarray:
+        n = len(pc)
+        if n == 0:
+            return np.zeros((self.num_points, 3), np.float32)
+        if n > self.num_points:
+            idx = self._rng.choice(n, self.num_points, replace=False)
+            return pc[idx]
+        if n < self.num_points:
+            pad = pc[self._rng.choice(n, self.num_points - n)]
+            return np.concatenate([pc, pad], axis=0)
+        return pc
+
+    def _build_cache(self) -> None:
+        with self._cache_lock:
+            if self._cache is not None or not self.files:
+                return
+            paths = [e["path"] for e in self.files]
+            if all(p.endswith((".txt", ".pts", ".ply")) for p in paths):
+                try:  # C++ parallel parse + resample
+                    from gan_rl_3d_tpu.runtime import load_files_parallel
+                    self._cache = load_files_parallel(
+                        paths, self.num_points,
+                        seed=int(self._rng.randint(1, 1 << 30)))
+                    return
+                except (ImportError, OSError):
+                    pass
+            arr = np.empty((len(self.files), self.num_points, 3), np.float32)
+            for i, entry in enumerate(self.files):
+                arr[i] = self._resample(load_point_cloud(entry["path"]))
+            self._cache = arr
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> Dict:
+        if self._cache is not None:
+            pc = self._cache[idx]
+        else:
+            pc = self._resample(load_point_cloud(self.files[idx]["path"]))
+        return {
+            "complete_pc": pc,
+            "category": self.files[idx]["category"],
+            "model_id": self.files[idx]["model_id"],
+        }
+
+    def as_array(self) -> np.ndarray:
+        """Whole split as one (S, num_points, 3) array."""
+        self._build_cache()
+        assert self._cache is not None, f"empty dataset at {self.data_dir}"
+        return self._cache
+
+
+# ---------------------------------------------------------------------------
+# Batch iteration (replaces torch DataLoader; reference utils/dataset.py:430)
+# ---------------------------------------------------------------------------
+
+
+class BatchLoader:
+    """Shuffled fixed-shape batch iterator over a ShapeNetDataset.
+
+    Yields dicts with 'complete_pc' (B, N, 3) float32. The final short batch
+    is padded by wrapping around (fixed shapes for jit) with 'pad' marking
+    the wrapped rows.
+    """
+
+    def __init__(self, dataset: ShapeNetDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        data = self.dataset.as_array()
+        n = len(data)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        bs = self.batch_size
+        stop = (n // bs) * bs if self.drop_last else n
+        for start in range(0, stop, bs):
+            idx = order[start:start + bs]
+            pad = np.zeros((len(idx),), np.float32)
+            if len(idx) < bs:  # wrap-around padding keeps shapes static
+                extra = order[: bs - len(idx)]
+                idx = np.concatenate([idx, extra])
+                pad = np.concatenate([pad, np.ones((len(extra),), np.float32)])
+            yield {"complete_pc": data[idx], "pad": pad}
+
+
+def create_dataloader(
+    data_dir: str,
+    split: str = "train",
+    batch_size: int = 32,
+    num_points: int = 2048,
+    shuffle: Optional[bool] = None,
+    seed: int = 0,
+    drop_last: bool = False,
+    **dataset_kwargs,
+) -> BatchLoader:
+    """Reference-API-compatible loader factory (utils/dataset.py:430-449)."""
+    ds = ShapeNetDataset(data_dir, split=split, num_points=num_points,
+                         seed=seed, **dataset_kwargs)
+    if shuffle is None:
+        shuffle = split == "train"
+    return BatchLoader(ds, batch_size, shuffle=shuffle, seed=seed,
+                       drop_last=drop_last)
+
+
+def setup_dataset(data_dir: str, synthetic: bool = False,
+                  samples_per_category: int = 100) -> None:
+    """Create the dataset directory (reference utils/dataset.py:452-461).
+    Real ShapeNet requires manual download; synthetic generates locally."""
+    if synthetic:
+        create_synthetic_dataset(data_dir,
+                                 samples_per_category=samples_per_category)
+    else:
+        print(
+            "Real ShapeNet (latent_3d_points) requires manual download:\n"
+            "  1. visit https://github.com/optas/latent_3d_points\n"
+            "  2. follow their instructions for the ShapeNet subset\n"
+            f"  3. extract under {data_dir} as <split>/<category>/*.ply\n"
+            "Or pass synthetic=True for generated data.")

@@ -1,0 +1,82 @@
+"""Device mesh + sharding helpers.
+
+Strategy (scaling-book style): a 2D logical mesh ("data", "model").
+
+* Batches shard along "data" — XLA inserts psum all-reduces over ICI for
+  gradient accumulation inside jitted train steps.
+* Parameters are replicated by default; the decoder's wide final matmul
+  (256 x 6144) and other large layers can shard their output dimension
+  along "model" via ``shard_model_for_mesh`` (tensor parallelism).
+
+Everything goes through `jax.jit` + `NamedSharding` constraints — no manual
+collectives; XLA chooses ICI-optimal reductions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ("data", "model") mesh. Defaults to all devices on the data
+    axis — the right layout for this model family's sizes."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model == len(devices), (
+        f"{n_data}x{n_model} mesh needs {n_data * n_model} devices, "
+        f"have {len(devices)}")
+    dev_array = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
+    """Shard the leading (batch) axis along "data"."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device-put every array in a batch pytree, sharded on the batch axis."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, ndim=x.ndim)), tree)
+
+
+def _spec_for_param(path: str, leaf) -> P:
+    """Tensor-parallel layout for large weights: shard dense kernels' output
+    dim along "model" when it is large enough to matter (the 256x6144
+    decoder head, the 512-wide GAN layers); replicate everything else."""
+    if leaf.ndim == 2 and leaf.shape[-1] % 2 == 0 and leaf.shape[-1] >= 512:
+        return P(None, MODEL_AXIS)
+    if leaf.ndim == 1 and leaf.shape[-1] % 2 == 0 and leaf.shape[-1] >= 512:
+        return P(MODEL_AXIS)
+    return P()
+
+
+def shard_model_for_mesh(mesh: Mesh, model_tree):
+    """Place a params/state pytree on the mesh: big kernels tensor-sharded
+    along "model" (no-op on a 1-wide model axis), the rest replicated."""
+    if mesh.shape[MODEL_AXIS] == 1:
+        return jax.device_put(model_tree, replicated(mesh))
+
+    def place(path, leaf):
+        return jax.device_put(
+            leaf, NamedSharding(mesh, _spec_for_param(path, leaf)))
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: place(jax.tree_util.keystr(p), x), model_tree)

@@ -1,0 +1,371 @@
+"""Jitted train/eval steps, one per curriculum phase.
+
+Each step is a pure function (params/state/opt-state in, updated versions
+out) designed to be wrapped once with `jax.jit(..., static_argnames=...)`
+and reused for the whole phase; batches arrive sharded along the mesh's
+"data" axis and XLA inserts the gradient all-reduces.
+
+Reference call stacks being covered: SURVEY.md §3.2 (AE step), §3.3
+(WGAN-GP step), §3.4 (RL episode), train_rl_gan_net.py:493-522 (joint).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gan_rl_3d_tpu.config import (AETrainConfig, JointTrainConfig,
+                                  LGANTrainConfig, LossConfig)
+from gan_rl_3d_tpu.models import autoencoder as ae
+from gan_rl_3d_tpu.models import latent_gan as lg
+from gan_rl_3d_tpu.models import rl_agent as rl
+from gan_rl_3d_tpu.models import rl_gan_net as net
+from gan_rl_3d_tpu.ops import chamfer as chamfer_ops
+from gan_rl_3d_tpu.ops import losses as losses_ops
+from gan_rl_3d_tpu.ops import pointcloud as pc_ops
+from gan_rl_3d_tpu.train import replay_buffer as rb
+
+Array = jax.Array
+
+
+def _masked_mean(per_sample: Array, pad: Array) -> Array:
+    """Mean over real rows, excluding wrap-around padded batch rows."""
+    w = 1.0 - pad
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: autoencoder
+# ---------------------------------------------------------------------------
+
+
+def make_ae_optimizer(cfg: AETrainConfig,
+                      steps_per_epoch: int) -> optax.GradientTransformation:
+    """Adam + L2 weight decay + StepLR, matching torch semantics:
+    torch.optim.Adam(weight_decay) adds wd*p to the gradient *before* the
+    Adam moments (train_rl_gan_net.py:178-188)."""
+
+    def schedule(count):
+        epoch = count // max(steps_per_epoch, 1)
+        return cfg.lr * (cfg.scheduler_gamma ** (epoch // cfg.scheduler_step))
+
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("optimizer", "augment"))
+def ae_train_step(
+    params: dict,
+    bn_state: dict,
+    opt_state,
+    batch: Dict[str, Array],
+    key,
+    *,
+    optimizer: optax.GradientTransformation,
+    augment: bool = True,
+) -> Tuple[dict, dict, object, Dict[str, Array]]:
+    """One AE step: on-device hole-cutting/augment -> forward -> Chamfer
+    (incomplete -> complete, SURVEY §3.2) -> Adam."""
+    k_data, _ = jax.random.split(key)
+    complete, incomplete, mask = pc_ops.make_training_batch(
+        k_data, batch["complete_pc"], do_augment=augment)
+
+    def loss_fn(p):
+        (recon, _gfv), new_state = ae.autoencoder_apply(
+            p, bn_state, incomplete, mask, training=True)
+        per = chamfer_ops.chamfer_distance(recon, complete)
+        return _masked_mean(per, batch["pad"]), new_state
+
+    (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    updates, new_opt_state = optimizer.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    return new_params, new_state, new_opt_state, {"loss": loss}
+
+
+@jax.jit
+def ae_eval_step(params: dict, bn_state: dict, batch: Dict[str, Array],
+                 key) -> Dict[str, Array]:
+    """Validation: deterministic hole-cutting (keyed), no augmentation,
+    eval-mode BN."""
+    complete, incomplete, mask = pc_ops.make_training_batch(
+        key, batch["complete_pc"], do_augment=False)
+    (recon, _), _ = ae.autoencoder_apply(params, bn_state, incomplete, mask,
+                                         training=False)
+    per = chamfer_ops.chamfer_distance(recon, complete)
+    return {"loss": _masked_mean(per, batch["pad"])}
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: GFV extraction
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def gfv_extract_step(params: dict, bn_state: dict, batch: Dict[str, Array],
+                     key) -> Tuple[Array, Array]:
+    """Encode (clean_gfv, noisy_gfv) for one batch with the frozen encoder
+    (reference generate_gfvs, train_rl_gan_net.py:269-305)."""
+    complete, incomplete, mask = pc_ops.make_training_batch(
+        key, batch["complete_pc"], do_augment=False)
+    clean, _ = ae.encoder_apply(params["encoder"], bn_state["encoder"],
+                                complete, training=False)
+    noisy, _ = ae.encoder_apply(params["encoder"], bn_state["encoder"],
+                                incomplete, mask, training=False)
+    return clean, noisy
+
+
+# ---------------------------------------------------------------------------
+# Phase 3: latent WGAN-GP
+# ---------------------------------------------------------------------------
+
+
+def make_gan_optimizer(lr: float, cfg: LGANTrainConfig):
+    return optax.adam(lr, b1=cfg.beta1, b2=cfg.beta2)
+
+
+@functools.partial(jax.jit, static_argnames=("d_opt", "lambda_gp", "z_dim"))
+def lgan_d_step(
+    lgan_params: dict,
+    lgan_state: dict,
+    d_opt_state,
+    real_gfv: Array,
+    key,
+    *,
+    d_opt: optax.GradientTransformation,
+    lambda_gp: float = 10.0,
+    z_dim: int = 1,
+) -> Tuple[dict, dict, object, Dict[str, Array]]:
+    """Discriminator step: WGAN loss + gradient penalty (reference
+    train_discriminator, latent_gan.py:325-357). The double backward of the
+    penalty is native jax.grad-through-jax.grad.
+
+    torch-matching details: the fake batch comes from the *train-mode*
+    generator under stop_gradient (the reference generates under no_grad
+    with the module still in train mode); dropout and spectral-norm power
+    iterations run on every discriminator call (real, fake, interpolates).
+    """
+    k_z, k_d_real, k_d_fake, k_alpha, k_d_gp = jax.random.split(key, 5)
+    z = jax.random.normal(k_z, (real_gfv.shape[0], z_dim))
+
+    fake_gfv, gen_state = lg.generator_apply(
+        lgan_params["generator"], lgan_state["generator"], z, training=True)
+    fake_gfv = jax.lax.stop_gradient(fake_gfv)
+
+    def loss_fn(d_params):
+        real_scores, d_s1 = lg.discriminator_apply(
+            d_params, lgan_state["discriminator"], real_gfv,
+            training=True, dropout_key=k_d_real)
+        fake_scores, d_s2 = lg.discriminator_apply(
+            d_params, d_s1, fake_gfv, training=True, dropout_key=k_d_fake)
+
+        def disc_fn(x):
+            scores, _ = lg.discriminator_apply(d_params, d_s2, x,
+                                               training=True,
+                                               dropout_key=k_d_gp)
+            return scores
+
+        gp = losses_ops.gradient_penalty(disc_fn, k_alpha, real_gfv,
+                                         fake_gfv, lambda_gp=lambda_gp)
+        w_loss = jnp.mean(fake_scores) - jnp.mean(real_scores)
+        return w_loss + gp, (d_s2, w_loss, gp)
+
+    (d_loss, (d_state, w_loss, gp)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(lgan_params["discriminator"])
+    updates, new_opt = d_opt.update(grads, d_opt_state,
+                                    lgan_params["discriminator"])
+    new_d_params = optax.apply_updates(lgan_params["discriminator"], updates)
+
+    new_params = {"generator": lgan_params["generator"],
+                  "discriminator": new_d_params}
+    new_state = {"generator": gen_state, "discriminator": d_state}
+    metrics = {"d_loss": d_loss, "wasserstein": -w_loss, "gp": gp}
+    return new_params, new_state, new_opt, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("g_opt", "z_dim", "batch_size"))
+def lgan_generator_step(
+    lgan_params: dict,
+    lgan_state: dict,
+    g_opt_state,
+    key,
+    *,
+    g_opt: optax.GradientTransformation,
+    batch_size: int,
+    z_dim: int = 1,
+) -> Tuple[dict, dict, object, Dict[str, Array]]:
+    k_z, k_drop = jax.random.split(key)
+    z = jax.random.normal(k_z, (batch_size, z_dim))
+
+    def loss_fn(g_params):
+        fake, g_state = lg.generator_apply(g_params,
+                                           lgan_state["generator"], z,
+                                           training=True)
+        scores, d_state = lg.discriminator_apply(
+            lgan_params["discriminator"], lgan_state["discriminator"], fake,
+            training=True, dropout_key=k_drop)
+        return -jnp.mean(scores), (g_state, d_state)
+
+    (g_loss, (g_state, d_state)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(lgan_params["generator"])
+    updates, new_opt = g_opt.update(grads, g_opt_state,
+                                    lgan_params["generator"])
+    new_g_params = optax.apply_updates(lgan_params["generator"], updates)
+    new_params = {"generator": new_g_params,
+                  "discriminator": lgan_params["discriminator"]}
+    new_state = {"generator": g_state, "discriminator": d_state}
+    return new_params, new_state, new_opt, {"g_loss": g_loss}
+
+
+# ---------------------------------------------------------------------------
+# Phase 4: RL (vmapped env collect + TD3 update in one jitted step)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "w_chamfer", "w_gfv",
+                                             "w_discriminator",
+                                             "start_training_size"))
+def rl_step(
+    model: dict,
+    buffer: rb.ReplayBuffer,
+    ou_states: Array,
+    batch: Dict[str, Array],
+    key,
+    *,
+    cfg: rl.TD3Config,
+    w_chamfer: float = 100.0,
+    w_gfv: float = 10.0,
+    w_discriminator: float = 0.01,
+    start_training_size: int = 64,
+) -> Tuple[dict, rb.ReplayBuffer, Array, Dict[str, Array]]:
+    """One RL iteration over B parallel single-step episodes:
+
+    cut holes -> env_reset (encode) -> actor+OU -> env_step (G -> decode ->
+    reward) -> push B transitions -> TD3 update (if enough data).
+
+    Replaces the reference's one-sample host-side episode loop
+    (train_rl_gan_net.py:388-429) and honours start_training_steps, which
+    the reference reads from config but never uses.
+    """
+    k_data, k_act, k_samp, k_upd = jax.random.split(key, 4)
+    complete, incomplete, mask = pc_ops.make_training_batch(
+        k_data, batch["complete_pc"], do_augment=False)
+
+    env = net.env_reset(model, incomplete, complete, mask)
+    action, new_ou = rl.select_action(model["agent"], env.state, cfg,
+                                      key=k_act, ou_state=ou_states,
+                                      add_noise=True)
+    env2, rewards, dones, _info = net.env_step(
+        model, env, action, w_chamfer=w_chamfer, w_gfv=w_gfv,
+        w_discriminator=w_discriminator)
+    transitions = rl.TransitionBatch(
+        states=env.state, actions=action, rewards=rewards[:, None],
+        next_states=env2.state, dones=dones[:, None])
+    buffer = rb.buffer_add_batch(buffer, transitions)
+
+    def do_update(agent):
+        sample = rb.buffer_sample(buffer, k_samp, cfg.batch_size)
+        return rl.agent_update(agent, sample, k_upd, cfg)
+
+    def skip_update(agent):
+        return agent, {"critic_loss": jnp.zeros(()),
+                       "actor_loss": jnp.zeros(())}
+
+    agent, metrics = jax.lax.cond(
+        buffer.size >= jnp.int32(max(start_training_size, cfg.batch_size)),
+        do_update, skip_update, model["agent"])
+
+    new_model = dict(model, agent=agent)
+    metrics = dict(metrics, reward=jnp.mean(rewards))
+    return new_model, buffer, new_ou, metrics
+
+
+# ---------------------------------------------------------------------------
+# Phase 5: joint fine-tune
+# ---------------------------------------------------------------------------
+
+
+def make_joint_optimizer(cfg: JointTrainConfig):
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(lambda _: cfg.lr),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("optimizer", "cfg"))
+def joint_train_step(
+    model: dict,
+    opt_state,
+    batch: Dict[str, Array],
+    key,
+    *,
+    optimizer: optax.GradientTransformation,
+    cfg: rl.TD3Config,
+) -> Tuple[dict, object, Dict[str, Array]]:
+    """Joint fine-tune (reference train_joint_epoch,
+    train_rl_gan_net.py:493-522): loss = Chamfer(decode(G(z)), complete) +
+    0.1 * MSE(clean_gfv, noisy_gfv); z comes from the frozen actor (the
+    reference computes it through numpy, so no gradient flows into the
+    agent there either). Trains encoder, decoder and generator."""
+    k_data, _ = jax.random.split(key)
+    complete, incomplete, mask = pc_ops.make_training_batch(
+        k_data, batch["complete_pc"], do_augment=True)
+
+    trainable = {"ae": model["ae"]["params"],
+                 "gen": model["lgan"]["params"]["generator"]}
+
+    def loss_fn(tp):
+        noisy_gfv, enc_state = ae.encoder_apply(
+            tp["ae"]["encoder"], model["ae"]["state"]["encoder"],
+            incomplete, mask, training=True)
+        z, _ = rl.actor_apply(model["agent"]["actor"]["params"],
+                              model["agent"]["actor"]["state"],
+                              noisy_gfv, cfg=cfg, training=False)
+        z = jax.lax.stop_gradient(z)
+        clean_gfv, gen_state = lg.generator_apply(
+            tp["gen"], model["lgan"]["state"]["generator"], z, training=True)
+        completed, dec_state = ae.decoder_apply(
+            tp["ae"]["decoder"], model["ae"]["state"]["decoder"], clean_gfv,
+            training=True)
+        per = chamfer_ops.chamfer_distance(completed, complete)
+        ch = _masked_mean(per, batch["pad"])
+        gl = losses_ops.gfv_loss(clean_gfv, noisy_gfv)
+        loss = ch + 0.1 * gl
+        return loss, (enc_state, gen_state, dec_state, ch, gl)
+
+    (loss, (enc_s, gen_s, dec_s, ch, gl)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(trainable)
+    updates, new_opt = optimizer.update(grads, opt_state, trainable)
+    new_trainable = optax.apply_updates(trainable, updates)
+
+    new_model = dict(model)
+    new_model["ae"] = {
+        "params": new_trainable["ae"],
+        "state": {"encoder": enc_s, "decoder": dec_s},
+    }
+    new_model["lgan"] = {
+        "params": {"generator": new_trainable["gen"],
+                   "discriminator": model["lgan"]["params"]["discriminator"]},
+        "state": {"generator": gen_s,
+                  "discriminator": model["lgan"]["state"]["discriminator"]},
+    }
+    return new_model, new_opt, {"loss": loss, "chamfer": ch, "gfv": gl}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def joint_eval_step(model: dict, batch: Dict[str, Array], key, *,
+                    cfg: rl.TD3Config) -> Dict[str, Array]:
+    """Validation through the full inference path with the hybrid gate
+    (reference validate_joint, train_rl_gan_net.py:524-544)."""
+    complete, incomplete, mask = pc_ops.make_training_batch(
+        key, batch["complete_pc"], do_augment=False)
+    out = net.complete(model, incomplete, mask, cfg=cfg)
+    per = chamfer_ops.chamfer_distance(out["hybrid_output"], complete)
+    return {"loss": _masked_mean(per, batch["pad"])}

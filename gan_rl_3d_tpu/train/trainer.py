@@ -1,0 +1,379 @@
+"""Five-phase curriculum trainer.
+
+API parity with reference RLGANNetTrainer (train_rl_gan_net.py:28-594):
+``train_autoencoder`` -> ``generate_gfvs`` -> ``train_latent_gan`` ->
+``train_rl_agent`` -> ``joint_training`` / ``train_full_pipeline``, plus
+checkpoint save/load — re-orchestrated around jitted steps:
+
+* every phase runs one compiled step per batch; host code only feeds data
+  and logs scalars;
+* batches are device_put sharded along the mesh "data" axis, parameters
+  replicated — XLA all-reduces gradients over ICI;
+* the RL phase runs ``envs_per_step`` vectorised single-step episodes per
+  device program instead of the reference's one-sample Python episodes;
+* d_steps discriminator updates per generator update are honoured
+  (config'd but ignored in the reference, SURVEY.md §3.3 note).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_rl_3d_tpu.config import Config, load_config
+from gan_rl_3d_tpu.data.dataset import BatchLoader, ShapeNetDataset, setup_dataset
+from gan_rl_3d_tpu.models import rl_agent as rl
+from gan_rl_3d_tpu.models import rl_gan_net as net
+from gan_rl_3d_tpu.parallel import mesh as mesh_lib
+from gan_rl_3d_tpu.train import replay_buffer as rb
+from gan_rl_3d_tpu.train import steps
+from gan_rl_3d_tpu.utils import checkpoint as ckpt_lib
+from gan_rl_3d_tpu.utils.metrics_logging import MetricsLogger
+
+
+class RLGANNetTrainer:
+    def __init__(self, config: "Config | str", *, use_orbax: bool = True):
+        self.config = (load_config(config) if isinstance(config, str)
+                       else config)
+        cfg = self.config
+        self.td3 = cfg.td3_config()
+        self.use_orbax = use_orbax
+
+        self.checkpoint_dir = Path(cfg.training.checkpoint_dir)
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        self.results_dir = Path(cfg.training.results_dir)
+        self.results_dir.mkdir(parents=True, exist_ok=True)
+        self.logger = MetricsLogger(
+            cfg.training.log_dir,
+            use_tensorboard=cfg.logging.use_tensorboard)
+
+        # mesh: all devices data-parallel by default
+        self.mesh = mesh_lib.make_mesh()
+        self.key = jax.random.PRNGKey(cfg.training.seed)
+
+        self._setup_data()
+
+        self.key, k_model = jax.random.split(self.key)
+        self.model = net.init_model(k_model, cfg)
+        self.model = mesh_lib.shard_model_for_mesh(self.mesh, self.model)
+
+        self.epoch = 0
+        self.current_phase = "autoencoder"
+        self.gfvs: Optional[Dict[str, np.ndarray]] = None
+
+    # ------------------------------------------------------------------
+    # data
+    # ------------------------------------------------------------------
+
+    def _setup_data(self):
+        cfg = self.config
+        data_dir = Path(cfg.data.data_dir)
+        if not data_dir.exists():
+            print(f"Dataset not found at {data_dir}; creating synthetic data")
+            setup_dataset(str(data_dir), synthetic=True)
+        bs = cfg.training.batch_size
+        self.train_loader = BatchLoader(
+            ShapeNetDataset(str(data_dir), "train",
+                            cfg.model.autoencoder.num_points,
+                            seed=cfg.training.seed),
+            bs, shuffle=True, seed=cfg.training.seed)
+        self.val_loader = BatchLoader(
+            ShapeNetDataset(str(data_dir), "test",
+                            cfg.model.autoencoder.num_points,
+                            seed=cfg.training.seed),
+            bs, shuffle=False, seed=cfg.training.seed)
+        print(f"Training samples: {len(self.train_loader.dataset)}")
+        print(f"Validation samples: {len(self.val_loader.dataset)}")
+
+    def _put(self, batch):
+        return mesh_lib.shard_batch(self.mesh, batch)
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # ------------------------------------------------------------------
+    # phase 1: autoencoder
+    # ------------------------------------------------------------------
+
+    def train_autoencoder(self, num_epochs: Optional[int] = None) -> float:
+        cfg = self.config.training.autoencoder
+        num_epochs = num_epochs or cfg.epochs
+        print(f"\n=== PHASE 1: autoencoder ({num_epochs} epochs) ===")
+        optimizer = steps.make_ae_optimizer(cfg, len(self.train_loader))
+        params = self.model["ae"]["params"]
+        bn_state = self.model["ae"]["state"]
+        opt_state = optimizer.init(params)
+        best_val = float("inf")
+
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            train_losses = []
+            for batch in self.train_loader:
+                params, bn_state, opt_state, m = steps.ae_train_step(
+                    params, bn_state, opt_state, self._put(batch),
+                    self._next_key(), optimizer=optimizer)
+                train_losses.append(m["loss"])
+            train_loss = float(jnp.mean(jnp.stack(train_losses)))
+
+            val_loss = self._validate_ae(params, bn_state)
+            self.logger.log_scalar("AE/Train_Loss", train_loss, epoch)
+            self.logger.log_scalar("AE/Val_Loss", val_loss, epoch)
+            dt = time.time() - t0
+            print(f"AE epoch {epoch + 1}/{num_epochs} "
+                  f"train {train_loss:.6f} val {val_loss:.6f} ({dt:.1f}s)")
+
+            self.model["ae"] = {"params": params, "state": bn_state}
+            if val_loss < best_val:
+                best_val = val_loss
+                self.save_checkpoint("autoencoder_best", epoch, "autoencoder")
+            freq = self.config.logging.save_model_frequency
+            if (epoch + 1) % max(freq, 1) == 0:
+                self.save_checkpoint(f"autoencoder_epoch_{epoch + 1}", epoch,
+                                     "autoencoder")
+        print(f"AE done; best val loss {best_val:.6f}")
+        return best_val
+
+    def _validate_ae(self, params, bn_state) -> float:
+        losses = []
+        val_key = jax.random.PRNGKey(0)  # fixed holes for comparable epochs
+        for i, batch in enumerate(self.val_loader):
+            m = steps.ae_eval_step(params, bn_state, self._put(batch),
+                                   jax.random.fold_in(val_key, i))
+            losses.append(m["loss"])
+        return float(jnp.mean(jnp.stack(losses)))
+
+    # ------------------------------------------------------------------
+    # phase 2: GFV extraction
+    # ------------------------------------------------------------------
+
+    def generate_gfvs(self) -> Dict[str, np.ndarray]:
+        print("\n=== PHASE 2: GFV extraction ===")
+        clean_all, noisy_all = [], []
+        gkey = jax.random.PRNGKey(self.config.training.seed + 1)
+        for i, batch in enumerate(self.train_loader):
+            clean, noisy = steps.gfv_extract_step(
+                self.model["ae"]["params"], self.model["ae"]["state"],
+                self._put(batch), jax.random.fold_in(gkey, i))
+            keep = batch["pad"] == 0
+            clean_all.append(np.asarray(clean)[keep])
+            noisy_all.append(np.asarray(noisy)[keep])
+        self.gfvs = {"clean": np.concatenate(clean_all),
+                     "noisy": np.concatenate(noisy_all)}
+        gfv_dir = Path(self.config.data.data_dir) / "gfv"
+        gfv_dir.mkdir(parents=True, exist_ok=True)
+        np.savez(gfv_dir / "gfvs_train.npz", **self.gfvs)
+        print(f"extracted {len(self.gfvs['clean'])} GFV pairs "
+              f"-> {gfv_dir / 'gfvs_train.npz'}")
+        return self.gfvs
+
+    def _load_gfvs(self) -> Dict[str, np.ndarray]:
+        if self.gfvs is None:
+            path = Path(self.config.data.data_dir) / "gfv" / "gfvs_train.npz"
+            if path.exists():
+                loaded = np.load(path)
+                self.gfvs = {"clean": loaded["clean"],
+                             "noisy": loaded["noisy"]}
+            else:
+                self.generate_gfvs()
+        return self.gfvs
+
+    # ------------------------------------------------------------------
+    # phase 3: latent WGAN-GP
+    # ------------------------------------------------------------------
+
+    def train_latent_gan(self, num_epochs: Optional[int] = None) -> float:
+        cfg = self.config.training.lgan
+        num_epochs = num_epochs or cfg.epochs
+        print(f"\n=== PHASE 3: latent GAN ({num_epochs} epochs, "
+              f"d_steps={cfg.d_steps}) ===")
+        gfvs = self._load_gfvs()["clean"]
+        # phase-specific batch size (config'd but unused in the reference)
+        bs = cfg.batch_size or self.config.training.batch_size
+        z_dim = self.config.model.lgan.z_dim
+        g_opt = steps.make_gan_optimizer(cfg.generator_lr, cfg)
+        d_opt = steps.make_gan_optimizer(cfg.discriminator_lr, cfg)
+        lgan_params = self.model["lgan"]["params"]
+        lgan_state = self.model["lgan"]["state"]
+        g_opt_state = g_opt.init(lgan_params["generator"])
+        d_opt_state = d_opt.init(lgan_params["discriminator"])
+        best_g = float("inf")
+        rng = np.random.RandomState(self.config.training.seed)
+
+        n = len(gfvs)
+        steps_per_epoch = max(n // bs, 1)
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            order = rng.permutation(n)
+            g_losses, d_losses = [], []
+            for si in range(steps_per_epoch):
+                for _ in range(cfg.d_steps):
+                    idx = rng.randint(0, n, size=bs) if cfg.d_steps > 1 else \
+                        order[si * bs:(si + 1) * bs]
+                    real = self._put(jnp.asarray(gfvs[idx]))
+                    lgan_params, lgan_state, d_opt_state, dm = steps.lgan_d_step(
+                        lgan_params, lgan_state, d_opt_state, real,
+                        self._next_key(), d_opt=d_opt,
+                        lambda_gp=cfg.lambda_gp, z_dim=z_dim)
+                    d_losses.append(dm["d_loss"])
+                lgan_params, lgan_state, g_opt_state, gm = \
+                    steps.lgan_generator_step(
+                        lgan_params, lgan_state, g_opt_state,
+                        self._next_key(), g_opt=g_opt, batch_size=bs,
+                        z_dim=z_dim)
+                g_losses.append(gm["g_loss"])
+            g_loss = float(jnp.mean(jnp.stack(g_losses)))
+            d_loss = float(jnp.mean(jnp.stack(d_losses)))
+            self.logger.log_scalar("GAN/Generator_Loss", g_loss, epoch)
+            self.logger.log_scalar("GAN/Discriminator_Loss", d_loss, epoch)
+            dt = time.time() - t0
+            print(f"GAN epoch {epoch + 1}/{num_epochs} "
+                  f"G {g_loss:.6f} D {d_loss:.6f} ({dt:.1f}s)")
+
+            self.model["lgan"] = {"params": lgan_params, "state": lgan_state}
+            # reference picks "best" by lowest G loss (a weak criterion for
+            # WGAN, kept for parity: train_rl_gan_net.py:363-365)
+            if g_loss < best_g:
+                best_g = g_loss
+                self.save_checkpoint("lgan_best", epoch, "lgan")
+        self.save_checkpoint("lgan_final", num_epochs - 1, "lgan")
+        print(f"LGAN done; best G loss {best_g:.6f}")
+        return best_g
+
+    # ------------------------------------------------------------------
+    # phase 4: RL agent
+    # ------------------------------------------------------------------
+
+    def train_rl_agent(self, num_episodes: Optional[int] = None) -> float:
+        cfg = self.config.training.rl_agent
+        num_episodes = num_episodes or cfg.episodes
+        envs = min(cfg.envs_per_step, self.config.training.batch_size)
+        iters = max(num_episodes // envs, 1)
+        print(f"\n=== PHASE 4: RL agent ({num_episodes} episodes = "
+              f"{iters} x {envs} parallel envs) ===")
+
+        buffer = rb.buffer_init(self.config.model.rl_agent.buffer_size,
+                                self.td3.state_dim, self.td3.action_dim)
+        ou = rl.ou_init(self.td3, (envs,))
+        data = self.train_loader.dataset.as_array()
+        rng = np.random.RandomState(self.config.training.seed)
+        loss_cfg = self.config.loss
+        best_avg = float("-inf")
+        rewards_hist = []
+
+        for it in range(iters):
+            idx = rng.randint(0, len(data), size=envs)
+            batch = {"complete_pc": data[idx],
+                     "pad": np.zeros((envs,), np.float32)}
+            self.model, buffer, ou, m = steps.rl_step(
+                self.model, buffer, ou, self._put(batch), self._next_key(),
+                cfg=self.td3,
+                w_chamfer=loss_cfg.w_chamfer, w_gfv=loss_cfg.w_gfv,
+                w_discriminator=loss_cfg.w_discriminator,
+                start_training_size=cfg.start_training_steps)
+            rewards_hist.append(float(m["reward"]))
+            episode = (it + 1) * envs
+            if it % 10 == 0 or it == iters - 1:
+                avg = float(np.mean(rewards_hist[-10:]))
+                self.logger.log_scalar("RL/Episode_Reward", rewards_hist[-1],
+                                       episode)
+                self.logger.log_scalar("RL/Average_Reward", avg, episode)
+                self.logger.log_scalar("RL/Critic_Loss",
+                                       float(m["critic_loss"]), episode)
+                self.logger.log_scalar("RL/Actor_Loss",
+                                       float(m["actor_loss"]), episode)
+                print(f"RL iter {it + 1}/{iters} (episode {episode}) "
+                      f"reward {rewards_hist[-1]:.4f} avg {avg:.4f}")
+                if avg > best_avg:
+                    best_avg = avg
+                    self.save_checkpoint("rl_agent_best", episode, "rl_agent")
+        self.save_checkpoint("rl_agent_final", num_episodes, "rl_agent")
+        print(f"RL done; best avg reward {best_avg:.4f}")
+        return best_avg
+
+    # ------------------------------------------------------------------
+    # phase 5: joint fine-tune
+    # ------------------------------------------------------------------
+
+    def joint_training(self, num_epochs: Optional[int] = None) -> float:
+        cfg = self.config.training.joint
+        num_epochs = num_epochs or cfg.epochs
+        print(f"\n=== PHASE 5: joint fine-tune ({num_epochs} epochs) ===")
+        optimizer = steps.make_joint_optimizer(cfg)
+        opt_state = optimizer.init(
+            {"ae": self.model["ae"]["params"],
+             "gen": self.model["lgan"]["params"]["generator"]})
+        best_val = float("inf")
+
+        for epoch in range(num_epochs):
+            t0 = time.time()
+            losses = []
+            for batch in self.train_loader:
+                self.model, opt_state, m = steps.joint_train_step(
+                    self.model, opt_state, self._put(batch),
+                    self._next_key(), optimizer=optimizer, cfg=self.td3)
+                losses.append(m["loss"])
+            train_loss = float(jnp.mean(jnp.stack(losses)))
+
+            val_losses = []
+            vkey = jax.random.PRNGKey(1)
+            for i, batch in enumerate(self.val_loader):
+                vm = steps.joint_eval_step(self.model, self._put(batch),
+                                           jax.random.fold_in(vkey, i),
+                                           cfg=self.td3)
+                val_losses.append(vm["loss"])
+            val_loss = float(jnp.mean(jnp.stack(val_losses)))
+
+            self.logger.log_scalar("Joint/Train_Loss", train_loss, epoch)
+            self.logger.log_scalar("Joint/Val_Loss", val_loss, epoch)
+            dt = time.time() - t0
+            print(f"Joint epoch {epoch + 1}/{num_epochs} "
+                  f"train {train_loss:.6f} val {val_loss:.6f} ({dt:.1f}s)")
+            if val_loss < best_val:
+                best_val = val_loss
+                self.save_checkpoint("joint_best", epoch, "joint")
+        print(f"Joint done; best val loss {best_val:.6f}")
+        return best_val
+
+    # ------------------------------------------------------------------
+    # pipeline / checkpointing
+    # ------------------------------------------------------------------
+
+    def train_full_pipeline(self):
+        t = self.config.training
+        self.train_autoencoder(t.autoencoder.epochs)
+        self.generate_gfvs()
+        self.train_latent_gan(t.lgan.epochs)
+        self.train_rl_agent(t.rl_agent.episodes)
+        if t.joint.enabled:
+            self.joint_training(t.joint.epochs)
+        print("\n=== TRAINING COMPLETE ===")
+        self.save_checkpoint("final", self.epoch, "joint")
+
+    def save_checkpoint(self, name: str, epoch: int, phase: str):
+        path = self.checkpoint_dir / name
+        tree = {"model": self.model,
+                "meta": {"epoch": np.int32(epoch),
+                         "phase_idx": np.int32(net.PHASES.index(phase))}}
+        ckpt_lib.save_checkpoint(str(path), tree, use_orbax=self.use_orbax)
+
+    def load_checkpoint(self, name: str) -> Tuple[int, str]:
+        path = self.checkpoint_dir / name
+        target = {"model": self.model,
+                  "meta": {"epoch": np.int32(0), "phase_idx": np.int32(0)}}
+        tree = ckpt_lib.load_checkpoint(str(path), target,
+                                        use_orbax=self.use_orbax)
+        self.model = mesh_lib.shard_model_for_mesh(self.mesh, tree["model"])
+        epoch = int(tree["meta"]["epoch"])
+        phase = net.PHASES[int(tree["meta"]["phase_idx"])]
+        self.current_phase = phase
+        print(f"loaded checkpoint {path} (epoch {epoch}, phase {phase})")
+        return epoch, phase
+
+    def close(self):
+        self.logger.close()

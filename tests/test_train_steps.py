@@ -1,0 +1,156 @@
+"""Jitted train-step tests: losses fall, states thread, every phase runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_rl_3d_tpu.config import Config, load_config
+from gan_rl_3d_tpu.models import rl_agent as rl
+from gan_rl_3d_tpu.models import rl_gan_net as net
+from gan_rl_3d_tpu.train import replay_buffer as rb
+from gan_rl_3d_tpu.train import steps
+
+N_POINTS = 256
+SMALL = {
+    "model": {"autoencoder": {"num_points": N_POINTS,
+                              "decoder_dims": [256, 256, N_POINTS * 3]}},
+    "training": {"batch_size": 8},
+}
+
+
+@pytest.fixture(scope="module")
+def config():
+    return load_config(None, overrides=SMALL)
+
+
+@pytest.fixture(scope="module")
+def model(config):
+    return net.init_model(jax.random.PRNGKey(0), config)
+
+
+def _batch(key, b=8):
+    pc = jax.random.normal(key, (b, N_POINTS, 3))
+    return {"complete_pc": pc, "pad": jnp.zeros((b,))}
+
+
+def test_ae_step_reduces_loss(config, model):
+    cfg = config.training.autoencoder
+    opt = steps.make_ae_optimizer(cfg, steps_per_epoch=10)
+    params = model["ae"]["params"]
+    state = model["ae"]["state"]
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(1)
+    batch = _batch(key)
+    losses = []
+    for i in range(30):
+        params, state, opt_state, m = steps.ae_train_step(
+            params, state, opt_state, batch, jax.random.fold_in(key, i),
+            optimizer=opt, augment=False)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], f"AE loss did not fall: {losses[:3]}...{losses[-3:]}"
+    assert np.isfinite(losses).all()
+
+
+def test_ae_eval_step_deterministic(config, model):
+    key = jax.random.PRNGKey(2)
+    batch = _batch(key)
+    m1 = steps.ae_eval_step(model["ae"]["params"], model["ae"]["state"],
+                            batch, key)
+    m2 = steps.ae_eval_step(model["ae"]["params"], model["ae"]["state"],
+                            batch, key)
+    assert float(m1["loss"]) == float(m2["loss"])
+
+
+def test_gfv_extract(config, model):
+    key = jax.random.PRNGKey(3)
+    clean, noisy = steps.gfv_extract_step(model["ae"]["params"],
+                                          model["ae"]["state"],
+                                          _batch(key), key)
+    assert clean.shape == (8, 128)
+    assert noisy.shape == (8, 128)
+    assert not np.allclose(np.asarray(clean), np.asarray(noisy))
+
+
+def test_wgan_gp_steps(config, model):
+    lcfg = config.training.lgan
+    g_opt = steps.make_gan_optimizer(lcfg.generator_lr, lcfg)
+    d_opt = steps.make_gan_optimizer(lcfg.discriminator_lr, lcfg)
+    lp, ls = model["lgan"]["params"], model["lgan"]["state"]
+    g_state = g_opt.init(lp["generator"])
+    d_state = d_opt.init(lp["discriminator"])
+    key = jax.random.PRNGKey(4)
+    real = jax.random.normal(key, (16, 128))
+
+    for i in range(3):
+        lp, ls, d_state, dm = steps.lgan_d_step(
+            lp, ls, d_state, real, jax.random.fold_in(key, i), d_opt=d_opt,
+            lambda_gp=lcfg.lambda_gp)
+        assert np.isfinite(float(dm["d_loss"]))
+        assert float(dm["gp"]) >= 0.0
+    lp2, ls2, g_state, gm = steps.lgan_generator_step(
+        lp, ls, g_state, key, g_opt=g_opt, batch_size=16)
+    assert np.isfinite(float(gm["g_loss"]))
+    # generator changed, discriminator untouched by g step
+    assert not np.allclose(
+        np.asarray(lp2["generator"]["mlp"][0]["dense"]["w"]),
+        np.asarray(lp["generator"]["mlp"][0]["dense"]["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(lp2["discriminator"]["layers"][0]["dense"]["w"]),
+        np.asarray(lp["discriminator"]["layers"][0]["dense"]["w"]))
+
+
+def test_rl_step_fills_buffer_and_updates(config, model):
+    td3 = config.td3_config()
+    buffer = rb.buffer_init(1000, td3.state_dim, td3.action_dim)
+    ou = rl.ou_init(td3, (8,))
+    key = jax.random.PRNGKey(5)
+    m = model
+    # below start size: buffer fills, no update
+    m, buffer, ou, metrics = steps.rl_step(
+        m, buffer, ou, _batch(key), key, cfg=td3, start_training_size=64)
+    assert int(buffer.size) == 8
+    assert float(metrics["critic_loss"]) == 0.0
+    # fill beyond start size -> update fires
+    step0 = int(m["agent"]["step"])
+    for i in range(8):
+        m, buffer, ou, metrics = steps.rl_step(
+            m, buffer, ou, _batch(jax.random.fold_in(key, i)),
+            jax.random.fold_in(key, 100 + i), cfg=td3,
+            start_training_size=64)
+    assert int(buffer.size) == 72
+    assert int(m["agent"]["step"]) > step0
+    assert np.isfinite(float(metrics["reward"]))
+
+
+def test_replay_buffer_ring_semantics():
+    buf = rb.buffer_init(10, 4, 1)
+    batch = rl.TransitionBatch(
+        states=jnp.arange(6 * 4, dtype=jnp.float32).reshape(6, 4),
+        actions=jnp.ones((6, 1)), rewards=jnp.ones((6, 1)),
+        next_states=jnp.zeros((6, 4)), dones=jnp.zeros((6, 1)))
+    buf = rb.buffer_add_batch(buf, batch)
+    assert int(buf.size) == 6 and int(buf.ptr) == 6
+    buf = rb.buffer_add_batch(buf, batch)  # wraps
+    assert int(buf.size) == 10 and int(buf.ptr) == 2
+    sample = rb.buffer_sample(buf, jax.random.PRNGKey(0), 32)
+    assert sample.states.shape == (32, 4)
+
+
+def test_joint_step(config, model):
+    jcfg = config.training.joint
+    opt = steps.make_joint_optimizer(jcfg)
+    m = model
+    opt_state = opt.init({"ae": m["ae"]["params"],
+                          "gen": m["lgan"]["params"]["generator"]})
+    key = jax.random.PRNGKey(6)
+    batch = _batch(key)
+    losses = []
+    for i in range(5):
+        m, opt_state, metrics = steps.joint_train_step(
+            m, opt_state, batch, jax.random.fold_in(key, i), optimizer=opt,
+            cfg=config.td3_config())
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    vm = steps.joint_eval_step(m, batch, key, cfg=config.td3_config())
+    assert np.isfinite(float(vm["loss"]))

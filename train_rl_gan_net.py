@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Train RL-GAN-Net on TPU.
+
+CLI parity with reference train_rl_gan_net.py:597-645:
+  --config  path to YAML config (reference schema)
+  --phase   autoencoder | lgan | rl_agent | joint | full
+  --resume  checkpoint name to restore before training
+"""
+
+import argparse
+
+from gan_rl_3d_tpu.train import RLGANNetTrainer
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(description="Train RL-GAN-Net (TPU)")
+    parser.add_argument("--config", type=str, default="configs/config.yaml",
+                        help="Path to configuration file")
+    parser.add_argument("--phase", type=str,
+                        choices=["autoencoder", "lgan", "rl_agent", "joint",
+                                 "full"],
+                        default="full", help="Training phase to run")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="Checkpoint name to resume from")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_arguments()
+    trainer = RLGANNetTrainer(args.config)
+    if args.resume:
+        trainer.load_checkpoint(args.resume)
+    try:
+        if args.phase == "autoencoder":
+            trainer.train_autoencoder()
+        elif args.phase == "lgan":
+            trainer.generate_gfvs()
+            trainer.train_latent_gan()
+        elif args.phase == "rl_agent":
+            trainer.train_rl_agent()
+        elif args.phase == "joint":
+            trainer.joint_training()
+        else:
+            trainer.train_full_pipeline()
+    except KeyboardInterrupt:
+        print("\nTraining interrupted by user")
+    finally:
+        trainer.close()
+
+
+if __name__ == "__main__":
+    main()
