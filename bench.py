@@ -35,35 +35,40 @@ def _timed(fn_chain, warm_out, iters: int) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def bench_completion(batch_sizes=(256, 512, 1024, 2048),
-                     iters: int = 20) -> float:
+def bench_completion(batch_sizes=(1024, 4096), iters: int = 20) -> float:
     from gan_rl_3d_tpu.config import Config
+    from gan_rl_3d_tpu.models import inference
     from gan_rl_3d_tpu.models import rl_gan_net as net
 
     config = Config()
     td3 = config.td3_config()
     model = net.init_model(jax.random.PRNGKey(0), config)
 
-    fn = jax.jit(lambda m, x: net.complete(m, x, cfg=td3)["hybrid_output"])
+    ref_fn = jax.jit(lambda m, x: net.complete(m, x, cfg=td3)["hybrid_output"])
+    engine = inference.prepare_inference_engine(model, dtype=jnp.bfloat16)
+    fast_fn = jax.jit(lambda e, x: inference.complete_fast(
+        e, x, dtype=jnp.bfloat16)["hybrid_output"].astype(jnp.float32))
 
     best = 0.0
-    for bsz in batch_sizes:
-        pc = jax.random.normal(jax.random.PRNGKey(1), (bsz, 2048, 3),
-                               jnp.float32)
+    for name, f, arg in (("f32 reference path", ref_fn, model),
+                         ("bf16 fused engine", fast_fn, engine)):
+        for bsz in batch_sizes:
+            pc = jax.random.normal(jax.random.PRNGKey(1), (bsz, 2048, 3),
+                                   jnp.float32)
 
-        def chain(n, pc=pc):
-            # output feeds next input: the chain cannot be parallelised or
-            # elided, so wall time == n real end-to-end executions
-            x = pc
-            for _ in range(n):
-                x = fn(model, x)
-            return x
+            def chain(n, f=f, arg=arg, pc=pc):
+                # output feeds next input: the chain cannot be parallelised
+                # or elided, so wall time == n real end-to-end executions
+                x = pc
+                for _ in range(n):
+                    x = f(arg, x)
+                return x
 
-        dt = _timed(chain, fn(model, pc), iters)
-        rate = bsz / dt
-        print(f"# batch {bsz}: {dt * 1e3:.2f} ms -> {rate:,.0f} clouds/s",
-              flush=True)
-        best = max(best, rate)
+            dt = _timed(chain, f(arg, pc), iters)
+            rate = bsz / dt
+            print(f"# {name} batch {bsz}: {dt * 1e3:.2f} ms "
+                  f"-> {rate:,.0f} clouds/s", flush=True)
+            best = max(best, rate)
     return best
 
 

@@ -1,0 +1,72 @@
+"""Fused encoder kernel + folded inference engine vs the reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_rl_3d_tpu.config import Config
+from gan_rl_3d_tpu.models import autoencoder as ae
+from gan_rl_3d_tpu.models import inference
+from gan_rl_3d_tpu.models import rl_gan_net as net
+from gan_rl_3d_tpu.ops import encoder_kernel
+
+
+def test_fold_bn_matches_sequential():
+    key = jax.random.PRNGKey(0)
+    from gan_rl_3d_tpu import nn
+    p = nn.dense_init(key, 16, 32)
+    bn_p, bn_s = nn.batchnorm_init(32)
+    # non-trivial BN state
+    bn_s = {"mean": jnp.linspace(-1, 1, 32), "var": jnp.linspace(0.5, 2, 32)}
+    bn_p = {"scale": jnp.linspace(0.9, 1.1, 32),
+            "bias": jnp.linspace(-0.1, 0.1, 32)}
+    x = jax.random.normal(key, (8, 16))
+    y_seq = nn.dense_apply(p, x)
+    y_seq, _ = nn.batchnorm_apply(bn_p, bn_s, y_seq, training=False)
+    w, b = encoder_kernel.fold_bn(p, bn_p, bn_s)
+    y_fold = x @ w + b
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_seq),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_encoder_matches_reference_path():
+    key = jax.random.PRNGKey(1)
+    params, state = ae.encoder_init(key)
+    pc = jax.random.normal(key, (4, 512, 3))
+    mask = jnp.concatenate([jnp.ones((4, 400)), jnp.zeros((4, 112))], axis=1)
+
+    gfv_ref, _ = ae.encoder_apply(params, state, pc, mask, training=False)
+    folded = encoder_kernel.fold_encoder_params(params, state)
+    gfv_fused = encoder_kernel.encode_fused(pc, folded, mask)
+    np.testing.assert_allclose(np.asarray(gfv_fused), np.asarray(gfv_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_complete_fast_matches_complete_f32():
+    config = Config()
+    model = net.init_model(jax.random.PRNGKey(2), config)
+    pc = jax.random.normal(jax.random.PRNGKey(3), (2, 2048, 3))
+
+    ref = net.complete(model, pc, cfg=config.td3_config())
+    engine = inference.prepare_inference_engine(model, dtype=jnp.float32)
+    fast = complete_fast = inference.complete_fast(engine, pc,
+                                                   dtype=jnp.float32)
+    for k in ("noisy_gfv", "z_vector", "clean_gfv", "completed_pc",
+              "ae_reconstruction"):
+        np.testing.assert_allclose(np.asarray(fast[k]), np.asarray(ref[k]),
+                                   rtol=1e-3, atol=1e-4), k
+
+
+def test_complete_fast_bf16_close():
+    config = Config()
+    model = net.init_model(jax.random.PRNGKey(4), config)
+    pc = jax.random.normal(jax.random.PRNGKey(5), (2, 2048, 3))
+    ref = net.complete(model, pc, cfg=config.td3_config())
+    engine = inference.prepare_inference_engine(model, dtype=jnp.bfloat16)
+    fast = inference.complete_fast(engine, pc, dtype=jnp.bfloat16)
+    # bf16 keeps the completion within a few 1e-2 of f32 coordinates
+    err = np.abs(np.asarray(fast["completed_pc"], np.float32)
+                 - np.asarray(ref["completed_pc"]))
+    assert err.max() < 0.05, err.max()
+    assert np.all(np.isfinite(np.asarray(fast["hybrid_output"],
+                                         np.float32)))
