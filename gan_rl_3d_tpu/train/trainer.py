@@ -344,13 +344,24 @@ class RLGANNetTrainer:
     # pipeline / checkpointing
     # ------------------------------------------------------------------
 
-    def train_full_pipeline(self):
+    def train_full_pipeline(self, start_phase: Optional[str] = None):
+        """Run the 5-phase curriculum. When resuming from a checkpoint the
+        completed phases are skipped and training restarts at the stored
+        phase (the reference loads the phase but never uses it to skip
+        work — train_rl_gan_net.py:617-619)."""
         t = self.config.training
-        self.train_autoencoder(t.autoencoder.epochs)
-        self.generate_gfvs()
-        self.train_latent_gan(t.lgan.epochs)
-        self.train_rl_agent(t.rl_agent.episodes)
-        if t.joint.enabled:
+        order = ("autoencoder", "lgan", "rl_agent", "joint")
+        start_idx = order.index(start_phase or self.current_phase)
+        if start_idx > 0:
+            print(f"resuming pipeline at phase {order[start_idx]!r}")
+        if start_idx <= 0:
+            self.train_autoencoder(t.autoencoder.epochs)
+            self.generate_gfvs()
+        if start_idx <= 1:
+            self.train_latent_gan(t.lgan.epochs)
+        if start_idx <= 2:
+            self.train_rl_agent(t.rl_agent.episodes)
+        if start_idx <= 3 and t.joint.enabled:
             self.joint_training(t.joint.epochs)
         print("\n=== TRAINING COMPLETE ===")
         self.save_checkpoint("final", self.epoch, "joint")

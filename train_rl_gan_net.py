@@ -22,26 +22,33 @@ def parse_arguments():
                         default="full", help="Training phase to run")
     parser.add_argument("--resume", type=str, default=None,
                         help="Checkpoint name to resume from")
+    parser.add_argument("--profile", action="store_true",
+                        help="Capture a jax.profiler device trace into "
+                             "<log_dir>/profile")
     return parser.parse_args()
 
 
 def main():
     args = parse_arguments()
     trainer = RLGANNetTrainer(args.config)
-    if args.resume:
-        trainer.load_checkpoint(args.resume)
+    resumed = bool(args.resume) and trainer.load_checkpoint(args.resume)
+    from gan_rl_3d_tpu.utils.profiling import trace
+
     try:
-        if args.phase == "autoencoder":
-            trainer.train_autoencoder()
-        elif args.phase == "lgan":
-            trainer.generate_gfvs()
-            trainer.train_latent_gan()
-        elif args.phase == "rl_agent":
-            trainer.train_rl_agent()
-        elif args.phase == "joint":
-            trainer.joint_training()
-        else:
-            trainer.train_full_pipeline()
+        with trace(f"{trainer.config.training.log_dir}/profile",
+                   enabled=args.profile):
+            if args.phase == "autoencoder":
+                trainer.train_autoencoder()
+            elif args.phase == "lgan":
+                trainer.generate_gfvs()
+                trainer.train_latent_gan()
+            elif args.phase == "rl_agent":
+                trainer.train_rl_agent()
+            elif args.phase == "joint":
+                trainer.joint_training()
+            else:
+                trainer.train_full_pipeline(
+                    start_phase=None if resumed else "autoencoder")
     except KeyboardInterrupt:
         print("\nTraining interrupted by user")
     finally:
