@@ -73,6 +73,8 @@ def bench_completion(batch_sizes=(1024, 4096), iters: int = 20) -> float:
 
 
 def main():
+    from gan_rl_3d_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     rate = bench_completion()
     print(json.dumps({
         "metric": "completion_throughput",

@@ -24,6 +24,8 @@ from gan_rl_3d_tpu.utils import ply
 
 
 def main():
+    from gan_rl_3d_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="Evaluate RL-GAN-Net (TPU)")
     parser.add_argument("--config", type=str, default="configs/config.yaml")
     parser.add_argument("--checkpoint", type=str, default=None,

@@ -25,7 +25,6 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from gan_rl_3d_tpu import nn
 from gan_rl_3d_tpu.models.common import bn_mlp_apply, bn_mlp_init
 
 Array = jax.Array

@@ -10,7 +10,6 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from gan_rl_3d_tpu import nn
 

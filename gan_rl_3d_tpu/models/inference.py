@@ -15,7 +15,7 @@ for the *distance metric* since the decoder output scale is ~1e-1.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

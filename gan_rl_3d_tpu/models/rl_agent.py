@@ -24,7 +24,7 @@ torch-matching state-handling quirks kept deliberately:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ double-backward the reference builds with `torch.autograd.grad(create_graph)`
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,14 +12,14 @@ Reference call stacks being covered: SURVEY.md §3.2 (AE step), §3.3
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from gan_rl_3d_tpu.config import (AETrainConfig, JointTrainConfig,
-                                  LGANTrainConfig, LossConfig)
+                                  LGANTrainConfig)
 from gan_rl_3d_tpu.models import autoencoder as ae
 from gan_rl_3d_tpu.models import latent_gan as lg
 from gan_rl_3d_tpu.models import rl_agent as rl

@@ -7,7 +7,6 @@ inference path, and a checkpoint save->load round trip, printing shapes.
 import tempfile
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from gan_rl_3d_tpu.config import load_config
@@ -16,6 +15,8 @@ from gan_rl_3d_tpu.utils import checkpoint as ckpt
 
 
 def main():
+    from gan_rl_3d_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     config = load_config(None, overrides={
         "model": {"rl_agent": {"buffer_size": 10000, "batch_size": 32}},
     })

@@ -1,7 +1,6 @@
 """Data layer tests: synthetic generation, loaders, index caching, batching."""
 
 import json
-from pathlib import Path
 
 import numpy as np
 

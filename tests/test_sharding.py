@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from gan_rl_3d_tpu.config import load_config
 from gan_rl_3d_tpu.models import rl_gan_net as net

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gan_rl_3d_tpu.config import Config, load_config
+from gan_rl_3d_tpu.config import load_config
 from gan_rl_3d_tpu.models import rl_agent as rl
 from gan_rl_3d_tpu.models import rl_gan_net as net
 from gan_rl_3d_tpu.train import replay_buffer as rb

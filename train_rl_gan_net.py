@@ -29,6 +29,8 @@ def parse_arguments():
 
 
 def main():
+    from gan_rl_3d_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = parse_arguments()
     trainer = RLGANNetTrainer(args.config)
     resumed = bool(args.resume) and trainer.load_checkpoint(args.resume)
