@@ -83,8 +83,9 @@ def _nn_kernel(a_ref, b_ref, a2_ref, b2_ref, dmin_ref, idx_ref):
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TN, TM)
+    # no per-tile clamp: min is monotone, so clamping the reduced minimum
+    # once (at the sqrt) is equivalent and saves a full VPU pass per tile
     d2 = a2_ref[0] + b2_ref[0] - 2.0 * cross  # (TN,1)+(1,TM) broadcast
-    d2 = jnp.maximum(d2, 0.0)
 
     tile_min = jnp.min(d2, axis=1)  # (TN,)
     tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + mi * tm  # (TN,)
@@ -139,7 +140,130 @@ def _nearest_pallas_fwd(a: Array, b: Array, tn: int, tm: int,
             transcendentals=0,
         ),
     )(a, b, a2, b2)
-    return jnp.sqrt(dmin2[:, 0, :]), idx[:, 0, :]
+    # clamp: cancellation can leave d2 slightly negative, and sqrt'(0)=inf
+    # would NaN the VJP at exact-zero distances
+    return jnp.sqrt(jnp.maximum(dmin2[:, 0, :], 1e-12)), idx[:, 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: min-only forward (eval/metrics path — skips the argmin
+# reduction, ~30% fewer VPU passes)
+# ---------------------------------------------------------------------------
+
+
+def _nn_min_kernel(a_ref, b_ref, a2_ref, b2_ref, dmin_ref):
+    mi = pl.program_id(2)
+    a = a_ref[0]
+    b = b_ref[0]
+    cross = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d2 = a2_ref[0] + b2_ref[0] - 2.0 * cross
+    tile_min = jnp.min(d2, axis=1)
+
+    @pl.when(mi == 0)
+    def _init():
+        dmin_ref[0, 0, :] = tile_min
+
+    @pl.when(mi > 0)
+    def _accum():
+        dmin_ref[0, 0, :] = jnp.minimum(dmin_ref[0, 0, :], tile_min)
+
+
+def nearest_min_distances(a: Array, b: Array, *, tile_n: int = 256,
+                          tile_m: int = 2048,
+                          use_pallas: Optional[bool] = None) -> Array:
+    """Distances only, no neighbour indices — the cheap path for metrics
+    and evaluation where no gradient flows."""
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    bsz, n, _ = a.shape
+    m = b.shape[1]
+    tn, tm = min(tile_n, n), min(tile_m, m)
+    ok = n % tn == 0 and m % tm == 0
+    if use_pallas is None:
+        use_pallas = ok
+    if not (use_pallas and ok):
+        d, _ = _nearest_jnp(a, b, None)
+        return d
+    a2 = jnp.sum(a * a, axis=-1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=-1)[:, None, :]
+    dmin2 = pl.pallas_call(
+        _nn_min_kernel,
+        grid=(bsz, n // tn, m // tm),
+        in_specs=[
+            pl.BlockSpec((1, tn, 3), lambda bi, ni, mi: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 3), lambda bi, ni, mi: (bi, mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 1), lambda bi, ni, mi: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tm), lambda bi, ni, mi: (bi, 0, mi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tn), lambda bi, ni, mi: (bi, 0, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(a, b, a2, b2)
+    return jnp.sqrt(jnp.maximum(dmin2[:, 0, :], 1e-12))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: backward b-side accumulation
+# ---------------------------------------------------------------------------
+
+
+def _nn_bwd_kernel(idx_ref, da_ref, out_ref):
+    """db[j] = -sum_{i: idx_i == j} da_i as a masked MXU matmul.
+
+    A scatter-add over B*N indices serialises terribly on TPU (measured
+    ~60 ms at B=256, N=M=2048); this reformulation builds the per-tile
+    one-hot membership mask and contracts it against da on the MXU.
+    Grid (B, M/TM, N/TN), accumulating over the N (innermost) axis.
+    Blocks: idx (1, TN, 1) int32, da (1, TN, 3), out (1, TM, 3).
+    """
+    ni = pl.program_id(2)
+    mi = pl.program_id(1)
+    idx = idx_ref[0]          # (TN, 1)
+    da = da_ref[0]            # (TN, 3)
+    tn = idx.shape[0]
+    tm = out_ref.shape[1]
+    j = mi * tm + jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
+    mask = (idx == j).astype(jnp.float32)  # (TN, TM)
+    contrib = jax.lax.dot_general(
+        mask, da, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TM, 3)
+
+    @pl.when(ni == 0)
+    def _init():
+        out_ref[0] = -contrib
+
+    @pl.when(ni > 0)
+    def _accum():
+        out_ref[0] = out_ref[0] - contrib
+
+
+def _scatter_db(idx: Array, da: Array, m: int, tn: int, tm: int,
+                interpret: bool) -> Array:
+    """Accumulate -da into db at positions idx. idx, da: (B, N[, .])."""
+    bsz, n = idx.shape
+    return pl.pallas_call(
+        _nn_bwd_kernel,
+        grid=(bsz, m // tm, n // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, 1), lambda bi, mi, ni: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 3), lambda bi, mi, ni: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tm, 3), lambda bi, mi, ni: (bi, mi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, m, 3), jnp.float32),
+        interpret=interpret,
+    )(idx[..., None], da)
 
 
 # ---------------------------------------------------------------------------
@@ -162,12 +286,11 @@ def _nearest_tpu_bwd(tn, tm, interpret, res, cotangents):
     g, _ = cotangents  # cotangent on idx is meaningless (integer output)
     # d dist_i / d a_i = (a_i - b_{idx_i}) / dist_i
     b_near = jnp.take_along_axis(b, idx[..., None], axis=1)  # (B, N, 3)
-    safe = jnp.where(dist > 1e-12, g / jnp.maximum(dist, 1e-12), 0.0)
+    safe = jnp.where(dist > 1e-6, g / jnp.maximum(dist, 1e-6), 0.0)
     da = safe[..., None] * (a - b_near)
-    # b_j accumulates -sum_{i: idx_i = j} da_i
-    def scatter_one(db_zero, idx_b, contrib):
-        return db_zero.at[idx_b].add(-contrib)
-    db = jax.vmap(scatter_one)(jnp.zeros_like(b), idx, da)
+    # b_j accumulates -sum_{i: idx_i = j} da_i (mask-matmul kernel; the
+    # equivalent scatter-add serialises on TPU)
+    db = _scatter_db(idx, da, b.shape[1], tn, tm, interpret)
     return da, db
 
 
@@ -180,7 +303,7 @@ def nearest_distances(
     *,
     b_mask: Optional[Array] = None,
     tile_n: int = 256,
-    tile_m: int = 512,
+    tile_m: int = 2048,
     use_pallas: Optional[bool] = None,
 ) -> Tuple[Array, Array]:
     """Per-point Euclidean distance from each point of ``a`` to its nearest

@@ -14,7 +14,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from gan_rl_3d_tpu.ops.chamfer import chamfer_distance, nearest_distances
+from gan_rl_3d_tpu.ops.chamfer import chamfer_distance, nearest_min_distances
 
 Array = jax.Array
 
@@ -22,16 +22,16 @@ Array = jax.Array
 def hausdorff_distance(a: Array, b: Array) -> Array:
     """Symmetric Hausdorff distance per cloud: max over directed
     max-of-nearest distances. Shapes (B, N, 3), (B, M, 3) -> (B,)."""
-    d_ab, _ = nearest_distances(a, b)
-    d_ba, _ = nearest_distances(b, a)
+    d_ab = nearest_min_distances(a, b)
+    d_ba = nearest_min_distances(b, a)
     return jnp.maximum(jnp.max(d_ab, axis=1), jnp.max(d_ba, axis=1))
 
 
 def f_score(pred: Array, target: Array, threshold: float = 0.01) -> Array:
     """F1 of precision (pred points within tau of target) and recall
     (target points within tau of pred) — the standard completion F-score."""
-    d_pt, _ = nearest_distances(pred, target)
-    d_tp, _ = nearest_distances(target, pred)
+    d_pt = nearest_min_distances(pred, target)
+    d_tp = nearest_min_distances(target, pred)
     precision = jnp.mean((d_pt < threshold).astype(jnp.float32), axis=1)
     recall = jnp.mean((d_tp < threshold).astype(jnp.float32), axis=1)
     return 2.0 * precision * recall / jnp.maximum(precision + recall, 1e-8)
@@ -40,7 +40,7 @@ def f_score(pred: Array, target: Array, threshold: float = 0.01) -> Array:
 def completion_ratio(pred: Array, target: Array, threshold: float = 0.03) -> Array:
     """Fraction of ground-truth points that have a predicted point within
     ``threshold`` — how much of the shape got covered."""
-    d_tp, _ = nearest_distances(target, pred)
+    d_tp = nearest_min_distances(target, pred)
     return jnp.mean((d_tp < threshold).astype(jnp.float32), axis=1)
 
 
