@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 import threading
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -112,11 +112,17 @@ class ShapeNetDataset:
         categories: Optional[Sequence[str]] = None,
         cache_in_memory: bool = True,
         seed: int = 0,
+        split_fractions: Optional[Tuple[float, float, float]] = None,
     ):
+        """``split_fractions`` (train, val, test) activates hash-based
+        splitting for flat directory trees with no per-split directories
+        (the reference parses these config knobs but never uses them,
+        data.train_split/val_split in config.yaml:96-98)."""
         self.data_dir = Path(data_dir)
         self.split = split
         self.num_points = num_points
         self.categories = list(categories) if categories else None
+        self.split_fractions = split_fractions
         self._rng = np.random.RandomState(seed)
         self.files = self._load_index()
         self._cache: Optional[np.ndarray] = None
@@ -145,11 +151,28 @@ class ShapeNetDataset:
                      or any(i in e["path"] for i in ids)]
         return files
 
+    def _split_of_path(self, p: Path) -> str:
+        """Deterministic fraction-based split assignment by path hash."""
+        import hashlib
+
+        frac = self.split_fractions
+        h = int(hashlib.md5(str(p.name).encode()).hexdigest()[:8], 16)
+        u = h / 0xFFFFFFFF
+        if u < frac[0]:
+            return "train"
+        if u < frac[0] + frac[1]:
+            return "val"
+        return "test"
+
     def _scan(self) -> List[Dict]:
         files = []
         for ext in ("*.ply", "*.pts", "*.txt", "*.h5"):
             for p in sorted(self.data_dir.rglob(ext)):
-                if self.split in str(p).lower():
+                if self.split_fractions is not None:
+                    in_split = self._split_of_path(p) == self.split
+                else:
+                    in_split = self.split in str(p).lower()
+                if in_split:
                     files.append({
                         "path": str(p),
                         "category": self._category_of(p),

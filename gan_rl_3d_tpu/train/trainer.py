@@ -77,15 +77,23 @@ class RLGANNetTrainer:
             print(f"Dataset not found at {data_dir}; creating synthetic data")
             setup_dataset(str(data_dir), synthetic=True)
         bs = cfg.training.batch_size
+        # flat trees without train/test/val directories fall back to the
+        # configured fraction-based split (data.train_split etc.)
+        fractions = None
+        if not (data_dir / "train").exists():
+            fractions = (cfg.data.train_split, cfg.data.val_split,
+                         cfg.data.test_split)
         self.train_loader = BatchLoader(
             ShapeNetDataset(str(data_dir), "train",
                             cfg.model.autoencoder.num_points,
-                            seed=cfg.training.seed),
+                            seed=cfg.training.seed,
+                            split_fractions=fractions),
             bs, shuffle=True, seed=cfg.training.seed)
         self.val_loader = BatchLoader(
             ShapeNetDataset(str(data_dir), "test",
                             cfg.model.autoencoder.num_points,
-                            seed=cfg.training.seed),
+                            seed=cfg.training.seed,
+                            split_fractions=fractions),
             bs, shuffle=False, seed=cfg.training.seed)
         print(f"Training samples: {len(self.train_loader.dataset)}")
         print(f"Validation samples: {len(self.val_loader.dataset)}")
@@ -111,6 +119,9 @@ class RLGANNetTrainer:
         opt_state = optimizer.init(params)
         best_val = float("inf")
 
+        eval_freq = max(self.config.evaluation.eval_frequency, 1)
+        log_freq = max(self.config.logging.log_frequency, 1)
+        global_step = 0
         for epoch in range(num_epochs):
             t0 = time.time()
             train_losses = []
@@ -119,17 +130,27 @@ class RLGANNetTrainer:
                     params, bn_state, opt_state, self._put(batch),
                     self._next_key(), optimizer=optimizer)
                 train_losses.append(m["loss"])
+                if global_step % log_freq == 0:
+                    self.logger.log_scalar("AE/Batch_Loss", float(m["loss"]),
+                                           global_step)
+                global_step += 1
             train_loss = float(jnp.mean(jnp.stack(train_losses)))
-
-            val_loss = self._validate_ae(params, bn_state)
             self.logger.log_scalar("AE/Train_Loss", train_loss, epoch)
-            self.logger.log_scalar("AE/Val_Loss", val_loss, epoch)
+
+            # validate per evaluation.eval_frequency (always on the last
+            # epoch so "best" tracking has a final word)
+            val_loss = None
+            if (epoch + 1) % eval_freq == 0 or epoch == num_epochs - 1:
+                val_loss = self._validate_ae(params, bn_state)
+                self.logger.log_scalar("AE/Val_Loss", val_loss, epoch)
             dt = time.time() - t0
+            val_txt = f"val {val_loss:.6f}" if val_loss is not None else ""
             print(f"AE epoch {epoch + 1}/{num_epochs} "
-                  f"train {train_loss:.6f} val {val_loss:.6f} ({dt:.1f}s)")
+                  f"train {train_loss:.6f} {val_txt} ({dt:.1f}s)")
 
             self.model["ae"] = {"params": params, "state": bn_state}
-            if val_loss < best_val:
+            self.epoch = epoch
+            if val_loss is not None and val_loss < best_val:
                 best_val = val_loss
                 self.save_checkpoint("autoencoder_best", epoch, "autoencoder")
             freq = self.config.logging.save_model_frequency
