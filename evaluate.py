@@ -35,6 +35,9 @@ def main():
     parser.add_argument("--output", type=str, default="hybrid_output",
                         choices=["hybrid_output", "completed_pc",
                                  "ae_reconstruction"])
+    parser.add_argument("--export-engine", type=str, default=None,
+                        help="also fold the model into a bf16 deployment "
+                             "engine and save it at this path")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -86,6 +89,13 @@ def main():
     html = Path(config.training.results_dir) / "results_viewer.html"
     ply.write_results_html(str(html), stats, exported)
     print(f"report: {html}")
+
+    if args.export_engine:
+        from gan_rl_3d_tpu.models import inference
+
+        engine = inference.prepare_inference_engine(model)
+        inference.save_engine(args.export_engine, engine)
+        print(f"deployment engine: {args.export_engine}")
     trainer.close()
 
 

@@ -33,6 +33,10 @@ class AutoencoderModelConfig:
     num_points: int = 2048
     encoder_dims: Tuple[int, ...] = (64, 128, 128, 256, 128)
     decoder_dims: Tuple[int, ...] = (256, 256, 6144)
+    # architecture variants: "pointnet" | "attention", "mlp" | "adaptive"
+    # (reference's alternates, models/variants.py)
+    encoder_type: str = "pointnet"
+    decoder_type: str = "mlp"
 
 
 @dataclass(frozen=True)

@@ -104,6 +104,34 @@ def decoder_apply(
 
 
 # ---------------------------------------------------------------------------
+# Structure-based dispatch over encoder/decoder variants
+# ---------------------------------------------------------------------------
+# The params pytree identifies the architecture (attention encoders carry an
+# "attention" subtree; adaptive decoders carry "feature_mlp"/"refine"), so
+# every downstream function — composite model, train steps, checkpoints —
+# works unchanged whichever variant the config selects.
+
+
+def any_encoder_apply(params: dict, state: dict, pc: Array,
+                      mask: Optional[Array] = None, *,
+                      training: bool = False) -> Tuple[Array, dict]:
+    if "attention" in params:
+        from gan_rl_3d_tpu.models import variants
+        return variants.attention_encoder_apply(params, state, pc, mask,
+                                                training=training)
+    return encoder_apply(params, state, pc, mask, training=training)
+
+
+def any_decoder_apply(params: dict, state: dict, gfv: Array, *,
+                      training: bool = False) -> Tuple[Array, dict]:
+    if "feature_mlp" in params:
+        from gan_rl_3d_tpu.models import variants
+        return variants.adaptive_decoder_apply(params, state, gfv,
+                                               training=training)
+    return decoder_apply(params, state, gfv, training=training)
+
+
+# ---------------------------------------------------------------------------
 # Autoencoder wrapper (reference PointCloudAutoencoder, autoencoder.py:132-171)
 # ---------------------------------------------------------------------------
 
@@ -115,10 +143,28 @@ def autoencoder_init(
     num_points: int = 2048,
     encoder_dims: Sequence[int] = ENCODER_DIMS,
     decoder_dims: Sequence[int] = DECODER_DIMS,
+    encoder_type: str = "pointnet",
+    decoder_type: str = "mlp",
 ) -> Tuple[dict, dict]:
     k_enc, k_dec = jax.random.split(key)
-    enc_p, enc_s = encoder_init(k_enc, input_dim, latent_dim, encoder_dims)
-    dec_p, dec_s = decoder_init(k_dec, latent_dim, num_points, decoder_dims)
+    if encoder_type == "attention":
+        from gan_rl_3d_tpu.models import variants
+        enc_p, enc_s = variants.attention_encoder_init(
+            k_enc, input_dim, latent_dim, encoder_dims)
+    elif encoder_type == "pointnet":
+        enc_p, enc_s = encoder_init(k_enc, input_dim, latent_dim,
+                                    encoder_dims)
+    else:
+        raise ValueError(f"unknown encoder_type {encoder_type!r}")
+    if decoder_type == "adaptive":
+        from gan_rl_3d_tpu.models import variants
+        dec_p, dec_s = variants.adaptive_decoder_init(
+            k_dec, latent_dim, num_points)
+    elif decoder_type == "mlp":
+        dec_p, dec_s = decoder_init(k_dec, latent_dim, num_points,
+                                    decoder_dims)
+    else:
+        raise ValueError(f"unknown decoder_type {decoder_type!r}")
     return ({"encoder": enc_p, "decoder": dec_p},
             {"encoder": enc_s, "decoder": dec_s})
 
@@ -132,8 +178,8 @@ def autoencoder_apply(
     training: bool = False,
 ) -> Tuple[Tuple[Array, Array], dict]:
     """Returns ((reconstruction, gfv), new_state)."""
-    gfv, enc_s = encoder_apply(params["encoder"], state["encoder"], pc, mask,
-                               training=training)
-    recon, dec_s = decoder_apply(params["decoder"], state["decoder"], gfv,
-                                 training=training)
+    gfv, enc_s = any_encoder_apply(params["encoder"], state["encoder"], pc,
+                                   mask, training=training)
+    recon, dec_s = any_decoder_apply(params["decoder"], state["decoder"],
+                                     gfv, training=training)
     return (recon, gfv), {"encoder": enc_s, "decoder": dec_s}

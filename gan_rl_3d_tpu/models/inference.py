@@ -109,6 +109,19 @@ def prepare_inference_engine(model: dict, *, dtype=jnp.bfloat16) -> dict:
     return cast(engine)
 
 
+def save_engine(path: str, engine: dict) -> None:
+    """Persist a folded engine as a deployment artifact (single file)."""
+    from gan_rl_3d_tpu.utils import checkpoint
+
+    checkpoint.save_checkpoint(path, engine, use_orbax=False)
+
+
+def load_engine(path: str) -> dict:
+    from gan_rl_3d_tpu.utils import checkpoint
+
+    return checkpoint.load_checkpoint(path, use_orbax=False)
+
+
 def complete_fast(
     engine: dict,
     pc: Array,

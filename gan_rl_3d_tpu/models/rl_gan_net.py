@@ -43,7 +43,9 @@ def init_model(key, config: "Config") -> dict:
     ae_p, ae_s = ae.autoencoder_init(
         k_ae, mc.autoencoder.input_dim, mc.autoencoder.latent_dim,
         mc.autoencoder.num_points, mc.autoencoder.encoder_dims,
-        mc.autoencoder.decoder_dims)
+        mc.autoencoder.decoder_dims,
+        encoder_type=mc.autoencoder.encoder_type,
+        decoder_type=mc.autoencoder.decoder_type)
     lgan_p, lgan_s = lg.lgan_init(
         k_lgan, mc.lgan.z_dim, mc.lgan.latent_dim, mc.lgan.generator_dims,
         mc.lgan.discriminator_dims, spectral_norm=mc.lgan.spectral_norm)
@@ -62,16 +64,16 @@ def init_model(key, config: "Config") -> dict:
 
 
 def encode(model: dict, pc: Array, mask: Optional[Array] = None) -> Array:
-    gfv, _ = ae.encoder_apply(model["ae"]["params"]["encoder"],
-                              model["ae"]["state"]["encoder"], pc, mask,
-                              training=False)
+    gfv, _ = ae.any_encoder_apply(model["ae"]["params"]["encoder"],
+                                  model["ae"]["state"]["encoder"], pc, mask,
+                                  training=False)
     return gfv
 
 
 def decode(model: dict, gfv: Array) -> Array:
-    pc, _ = ae.decoder_apply(model["ae"]["params"]["decoder"],
-                             model["ae"]["state"]["decoder"], gfv,
-                             training=False)
+    pc, _ = ae.any_decoder_apply(model["ae"]["params"]["decoder"],
+                                 model["ae"]["state"]["decoder"], gfv,
+                                 training=False)
     return pc
 
 

@@ -114,10 +114,10 @@ def gfv_extract_step(params: dict, bn_state: dict, batch: Dict[str, Array],
     (reference generate_gfvs, train_rl_gan_net.py:269-305)."""
     complete, incomplete, mask = pc_ops.make_training_batch(
         key, batch["complete_pc"], do_augment=False)
-    clean, _ = ae.encoder_apply(params["encoder"], bn_state["encoder"],
-                                complete, training=False)
-    noisy, _ = ae.encoder_apply(params["encoder"], bn_state["encoder"],
-                                incomplete, mask, training=False)
+    clean, _ = ae.any_encoder_apply(params["encoder"], bn_state["encoder"],
+                                    complete, training=False)
+    noisy, _ = ae.any_encoder_apply(params["encoder"], bn_state["encoder"],
+                                    incomplete, mask, training=False)
     return clean, noisy
 
 
@@ -322,7 +322,7 @@ def joint_train_step(
                  "gen": model["lgan"]["params"]["generator"]}
 
     def loss_fn(tp):
-        noisy_gfv, enc_state = ae.encoder_apply(
+        noisy_gfv, enc_state = ae.any_encoder_apply(
             tp["ae"]["encoder"], model["ae"]["state"]["encoder"],
             incomplete, mask, training=True)
         z, _ = rl.actor_apply(model["agent"]["actor"]["params"],
@@ -331,7 +331,7 @@ def joint_train_step(
         z = jax.lax.stop_gradient(z)
         clean_gfv, gen_state = lg.generator_apply(
             tp["gen"], model["lgan"]["state"]["generator"], z, training=True)
-        completed, dec_state = ae.decoder_apply(
+        completed, dec_state = ae.any_decoder_apply(
             tp["ae"]["decoder"], model["ae"]["state"]["decoder"], clean_gfv,
             training=True)
         per = chamfer_ops.chamfer_distance(completed, complete)

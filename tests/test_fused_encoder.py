@@ -70,3 +70,18 @@ def test_complete_fast_bf16_close():
     assert err.max() < 0.05, err.max()
     assert np.all(np.isfinite(np.asarray(fast["hybrid_output"],
                                          np.float32)))
+
+
+def test_engine_save_load_roundtrip(tmp_path):
+    config = Config()
+    model = net.init_model(jax.random.PRNGKey(6), config)
+    engine = inference.prepare_inference_engine(model, dtype=jnp.float32)
+    path = str(tmp_path / "engine.pkl")
+    inference.save_engine(path, engine)
+    loaded = inference.load_engine(path)
+    pc = jax.random.normal(jax.random.PRNGKey(7), (2, 2048, 3))
+    out1 = inference.complete_fast(engine, pc, dtype=jnp.float32)
+    out2 = inference.complete_fast(loaded, pc, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out1["hybrid_output"]),
+                               np.asarray(out2["hybrid_output"]),
+                               rtol=1e-6)
