@@ -92,8 +92,12 @@ class RLTrainConfig:
     noise_clip: float = 0.5
     policy_delay: int = 2
     start_training_steps: int = 1000
-    # TPU addition: how many environment instances run per vmapped step
+    # TPU additions: parallel environment instances per device program, env
+    # steps per episode (capped by max_steps_per_episode; 1 = reference
+    # behaviour), and TD3 updates per iteration
     envs_per_step: int = 32
+    steps_per_episode: int = 1
+    updates_per_step: int = 1
 
 
 @dataclass(frozen=True)
@@ -107,6 +111,9 @@ class JointTrainConfig:
 @dataclass(frozen=True)
 class TrainingConfig:
     device: str = "tpu"
+    # "float32" or "bfloat16": mixed-precision policy for the heavy train
+    # steps (bf16 matmuls/activations, f32 master weights + BN stats + loss)
+    precision: str = "float32"
     seed: int = 42
     batch_size: int = 32
     num_workers: int = 4

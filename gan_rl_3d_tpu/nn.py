@@ -89,7 +89,12 @@ def dense_init(
 
 
 def dense_apply(params: dict, x: Array) -> Array:
-    return jnp.dot(x, params["w"], preferred_element_type=x.dtype) + params["b"]
+    """Matmul in the parameter/activation dtype with f32 MXU accumulation;
+    the result follows x's dtype (so a bf16 policy keeps activations bf16).
+    For bf16 compute, cast the params once at the call site — mixing bf16 x
+    with f32 w would silently promote to an f32 matmul."""
+    y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
+    return (y + params["b"].astype(jnp.float32)).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -117,11 +122,16 @@ def batchnorm_apply(
     For (B, C) inputs this matches torch BatchNorm1d over B; for our
     channels-last point features (B, N, C) it matches torch's (B, C, N)
     normalisation over (B, N).
+
+    Statistics and normalisation are always computed in float32 (running
+    stats stay f32 under a bf16 activation policy); the output follows the
+    input dtype.
     """
+    x32 = x.astype(jnp.float32)
     if training:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.var(x32, axis=axes)
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
@@ -132,8 +142,10 @@ def batchnorm_apply(
         mean, var = state["mean"], state["var"]
         new_state = state
     inv = jax.lax.rsqrt(var + eps)
-    y = (x - mean) * (inv * params["scale"]) + params["bias"]
-    return y, new_state
+    scale32 = params["scale"].astype(jnp.float32)
+    bias32 = params["bias"].astype(jnp.float32)
+    y = (x32 - mean) * (inv * scale32) + bias32
+    return y.astype(x.dtype), new_state
 
 
 # ---------------------------------------------------------------------------

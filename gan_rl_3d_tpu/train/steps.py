@@ -60,7 +60,14 @@ def make_ae_optimizer(cfg: AETrainConfig,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("optimizer", "augment"))
+def _policy_cast(tree, dtype):
+    """Cast a params pytree to the compute dtype (master copies stay f32 in
+    the optimizer; the cast is inside the loss so grads come back f32)."""
+    return jax.tree.map(lambda v: v.astype(dtype), tree)
+
+
+@functools.partial(jax.jit, static_argnames=("optimizer", "augment",
+                                             "compute_dtype"))
 def ae_train_step(
     params: dict,
     bn_state: dict,
@@ -70,16 +77,25 @@ def ae_train_step(
     *,
     optimizer: optax.GradientTransformation,
     augment: bool = True,
+    compute_dtype=None,
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """One AE step: on-device hole-cutting/augment -> forward -> Chamfer
-    (incomplete -> complete, SURVEY §3.2) -> Adam."""
+    (incomplete -> complete, SURVEY §3.2) -> Adam.
+
+    ``compute_dtype=jnp.bfloat16`` enables mixed precision: bf16 matmuls
+    and activations with f32 master weights, f32 BatchNorm statistics and
+    an f32 Chamfer loss (training.precision config knob)."""
     k_data, _ = jax.random.split(key)
     complete, incomplete, mask = pc_ops.make_training_batch(
         k_data, batch["complete_pc"], do_augment=augment)
 
     def loss_fn(p):
+        x_in = incomplete
+        if compute_dtype is not None:
+            p = _policy_cast(p, compute_dtype)
+            x_in = incomplete.astype(compute_dtype)
         (recon, _gfv), new_state = ae.autoencoder_apply(
-            p, bn_state, incomplete, mask, training=True)
+            p, bn_state, x_in, mask, training=True)
         per = chamfer_ops.chamfer_distance(recon, complete)
         return _masked_mean(per, batch["pad"]), new_state
 
@@ -230,7 +246,9 @@ def lgan_generator_step(
 
 @functools.partial(jax.jit, static_argnames=("cfg", "w_chamfer", "w_gfv",
                                              "w_discriminator",
-                                             "start_training_size"))
+                                             "start_training_size",
+                                             "steps_per_episode",
+                                             "updates_per_step"))
 def rl_step(
     model: dict,
     buffer: rb.ReplayBuffer,
@@ -243,35 +261,69 @@ def rl_step(
     w_gfv: float = 10.0,
     w_discriminator: float = 0.01,
     start_training_size: int = 64,
+    steps_per_episode: int = 1,
+    updates_per_step: int = 1,
 ) -> Tuple[dict, rb.ReplayBuffer, Array, Dict[str, Array]]:
-    """One RL iteration over B parallel single-step episodes:
+    """One RL iteration over B parallel episodes of ``steps_per_episode``
+    environment steps each:
 
-    cut holes -> env_reset (encode) -> actor+OU -> env_step (G -> decode ->
-    reward) -> push B transitions -> TD3 update (if enough data).
+    cut holes -> env_reset (encode) -> scan[actor+OU -> env_step (G ->
+    decode -> reward)] -> push B*S transitions -> TD3 updates.
 
     Replaces the reference's one-sample host-side episode loop
     (train_rl_gan_net.py:388-429) and honours start_training_steps, which
-    the reference reads from config but never uses.
+    the reference reads from config but never uses. ``steps_per_episode=1``
+    reproduces the reference's effective behaviour (its env terminates after
+    one step, rl_gan_net.py:327); larger values chain the episode through
+    the generated clean GFVs with done only on the final step — the
+    multi-step regime its max_steps_per_episode knob gestured at. Within an
+    episode the policy is the iteration's snapshot (the reference updates
+    between steps; immaterial at 1 step, documented at >1).
     """
-    k_data, k_act, k_samp, k_upd = jax.random.split(key, 4)
+    k_data, k_scan, k_samp, k_upd = jax.random.split(key, 4)
     complete, incomplete, mask = pc_ops.make_training_batch(
         k_data, batch["complete_pc"], do_augment=False)
 
-    env = net.env_reset(model, incomplete, complete, mask)
-    action, new_ou = rl.select_action(model["agent"], env.state, cfg,
-                                      key=k_act, ou_state=ou_states,
+    env0 = net.env_reset(model, incomplete, complete, mask)
+
+    def step_body(carry, step_key_done):
+        state_vec, env_state, ou = carry
+        k_act, is_last = step_key_done
+        action, ou = rl.select_action(model["agent"], state_vec, cfg,
+                                      key=k_act, ou_state=ou,
                                       add_noise=True)
-    env2, rewards, dones, _info = net.env_step(
-        model, env, action, w_chamfer=w_chamfer, w_gfv=w_gfv,
-        w_discriminator=w_discriminator)
-    transitions = rl.TransitionBatch(
-        states=env.state, actions=action, rewards=rewards[:, None],
-        next_states=env2.state, dones=dones[:, None])
-    buffer = rb.buffer_add_batch(buffer, transitions)
+        env_next, rewards, _dones, _ = net.env_step(
+            model, env_state, action, w_chamfer=w_chamfer, w_gfv=w_gfv,
+            w_discriminator=w_discriminator)
+        dones = jnp.full_like(rewards, is_last)
+        tr = rl.TransitionBatch(
+            states=state_vec, actions=action, rewards=rewards[:, None],
+            next_states=env_next.state, dones=dones[:, None])
+        return (env_next.state, env_next, ou), (tr, rewards)
+
+    step_keys = jax.random.split(k_scan, steps_per_episode)
+    is_last = jnp.arange(steps_per_episode) == steps_per_episode - 1
+    (_, _, new_ou), (trs, all_rewards) = jax.lax.scan(
+        step_body, (env0.state, env0, ou_states),
+        (step_keys, is_last.astype(jnp.float32)))
+
+    # flatten (S, B, ...) -> (S*B, ...) and push
+    flat = jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), trs)
+    buffer = rb.buffer_add_batch(buffer, flat)
 
     def do_update(agent):
-        sample = rb.buffer_sample(buffer, k_samp, cfg.batch_size)
-        return rl.agent_update(agent, sample, k_upd, cfg)
+        def upd(carry, k):
+            agent, _ = carry
+            k_s, k_u = jax.random.split(k)
+            sample = rb.buffer_sample(buffer, k_s, cfg.batch_size)
+            agent, m = rl.agent_update(agent, sample, k_u, cfg)
+            return (agent, m), None
+
+        upd_keys = jax.random.split(k_upd, updates_per_step)
+        (agent, m), _ = jax.lax.scan(upd, (agent, {
+            "critic_loss": jnp.zeros(()), "actor_loss": jnp.zeros(())}),
+            upd_keys)
+        return agent, m
 
     def skip_update(agent):
         return agent, {"critic_loss": jnp.zeros(()),
@@ -282,7 +334,8 @@ def rl_step(
         do_update, skip_update, model["agent"])
 
     new_model = dict(model, agent=agent)
-    metrics = dict(metrics, reward=jnp.mean(rewards))
+    # episode reward = per-env sum over the episode's steps
+    metrics = dict(metrics, reward=jnp.mean(jnp.sum(all_rewards, axis=0)))
     return new_model, buffer, new_ou, metrics
 
 

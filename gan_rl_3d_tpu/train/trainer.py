@@ -52,6 +52,8 @@ class RLGANNetTrainer:
             cfg.training.log_dir,
             use_tensorboard=cfg.logging.use_tensorboard)
 
+        self.compute_dtype = (jnp.bfloat16 if cfg.training.precision
+                              in ("bfloat16", "bf16") else None)
         # mesh: all devices data-parallel by default
         self.mesh = mesh_lib.make_mesh()
         self.key = jax.random.PRNGKey(cfg.training.seed)
@@ -128,7 +130,8 @@ class RLGANNetTrainer:
             for batch in self.train_loader:
                 params, bn_state, opt_state, m = steps.ae_train_step(
                     params, bn_state, opt_state, self._put(batch),
-                    self._next_key(), optimizer=optimizer)
+                    self._next_key(), optimizer=optimizer,
+                    compute_dtype=self.compute_dtype)
                 train_losses.append(m["loss"])
                 if global_step % log_freq == 0:
                     self.logger.log_scalar("AE/Batch_Loss", float(m["loss"]),
@@ -296,7 +299,10 @@ class RLGANNetTrainer:
                 cfg=self.td3,
                 w_chamfer=loss_cfg.w_chamfer, w_gfv=loss_cfg.w_gfv,
                 w_discriminator=loss_cfg.w_discriminator,
-                start_training_size=cfg.start_training_steps)
+                start_training_size=cfg.start_training_steps,
+                steps_per_episode=min(max(cfg.steps_per_episode, 1),
+                                      cfg.max_steps_per_episode),
+                updates_per_step=max(cfg.updates_per_step, 1))
             rewards_hist.append(float(m["reward"]))
             episode = (it + 1) * envs
             if it % 10 == 0 or it == iters - 1:

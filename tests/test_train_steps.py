@@ -154,3 +154,51 @@ def test_joint_step(config, model):
     assert np.isfinite(losses).all()
     vm = steps.joint_eval_step(m, batch, key, cfg=config.td3_config())
     assert np.isfinite(float(vm["loss"]))
+
+
+def test_rl_step_multi_step_episodes(config, model):
+    """steps_per_episode > 1 chains episodes through generated GFVs,
+    storing S*B transitions with done only on the final step."""
+    td3 = config.td3_config()
+    buffer = rb.buffer_init(1000, td3.state_dim, td3.action_dim)
+    ou = rl.ou_init(td3, (8,))
+    key = jax.random.PRNGKey(7)
+    m, buffer, ou, metrics = steps.rl_step(
+        model, buffer, ou, _batch(key), key, cfg=td3,
+        start_training_size=1000, steps_per_episode=3)
+    assert int(buffer.size) == 24  # 3 steps x 8 envs
+    dones = np.asarray(buffer.dones[:24]).reshape(3, 8)
+    np.testing.assert_array_equal(dones[:2], 0.0)
+    np.testing.assert_array_equal(dones[2], 1.0)
+    assert np.isfinite(float(metrics["reward"]))
+    # multiple updates per iteration advance the TD3 step counter once the
+    # buffer exceeds the TD3 batch size (24 + 5*8 = 64 = cfg.batch_size)
+    m2, buffer, ou, _ = steps.rl_step(
+        m, buffer, ou, _batch(key), jax.random.fold_in(key, 1), cfg=td3,
+        start_training_size=8, steps_per_episode=5, updates_per_step=3)
+    assert int(buffer.size) == 64
+    assert int(m2["agent"]["step"]) == 3
+
+
+def test_ae_step_bf16_policy(config, model):
+    """bf16 mixed precision: loss falls, grads/master weights stay f32."""
+    import jax.numpy as jnp
+    cfg = config.training.autoencoder
+    opt = steps.make_ae_optimizer(cfg, steps_per_epoch=10)
+    params = model["ae"]["params"]
+    state = model["ae"]["state"]
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(11)
+    batch = _batch(key)
+    losses = []
+    for i in range(20):
+        params, state, opt_state, m = steps.ae_train_step(
+            params, state, opt_state, batch, jax.random.fold_in(key, i),
+            optimizer=opt, augment=False, compute_dtype=jnp.bfloat16)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # master weights and BN stats remain f32
+    w = params["encoder"]["point_mlp"][0]["dense"]["w"]
+    assert w.dtype == jnp.float32
+    assert state["encoder"]["point_mlp"][0]["bn"]["mean"].dtype == jnp.float32
