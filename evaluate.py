@@ -52,25 +52,27 @@ def main():
 
     metric_names = tuple(config.evaluation.metrics)
     sums = {m: 0.0 for m in metric_names}
-    n_batches = 0
+    n_samples = 0
     exported = []
     key = jax.random.PRNGKey(123)
 
-    for i, batch in enumerate(trainer.val_loader):
+    for i, batch in enumerate(trainer.test_loader):
         k = jax.random.fold_in(key, i)
         complete_pc, incomplete, mask = pc_ops.make_training_batch(
             k, jnp.asarray(batch["complete_pc"]), do_augment=False)
         out = complete_fn(model, incomplete, mask)
         pred = out[args.output]
-        metrics = evaluate_completion(pred, complete_pc, metric_names)
-        keep = batch["pad"] == 0
+        metrics = evaluate_completion(pred, complete_pc, metric_names,
+                                      reduce=False)
+        # exclude wrap-around padded duplicate rows from aggregation
+        keep = np.asarray(batch["pad"] == 0)
         for m in metric_names:
-            sums[m] += float(metrics[m])
-        n_batches += 1
+            sums[m] += float(np.asarray(metrics[m])[keep].sum())
+        n_samples += int(keep.sum())
 
         if i == 0 and config.evaluation.save_visualizations:
             out_dir = Path(config.training.results_dir) / "point_clouds"
-            ds = trainer.val_loader.dataset
+            ds = trainer.test_loader.dataset
             for j in range(min(args.num_export, int(keep.sum()))):
                 category = ds.files[j]["category"] if j < len(ds.files) \
                     else "unknown"
@@ -81,7 +83,7 @@ def main():
                     incomplete_mask=np.asarray(mask[j]))
                 exported.append(f"sample_{j + 1:02d}_{category}")
 
-    stats = {m: sums[m] / max(n_batches, 1) for m in metric_names}
+    stats = {m: sums[m] / max(n_samples, 1) for m in metric_names}
     print("\n=== evaluation ===")
     for m, v in stats.items():
         print(f"{m}: {v:.6f}")

@@ -133,7 +133,13 @@ class ShapeNetDataset:
     # -- index ------------------------------------------------------------
 
     def _load_index(self) -> List[Dict]:
-        index_file = self.data_dir / f"{self.split}_data.json"
+        # fraction-based splits get their own cache key so changing the
+        # configured fractions cannot silently reuse a stale index
+        suffix = ""
+        if self.split_fractions is not None:
+            f = self.split_fractions
+            suffix = f"_frac{int(f[0] * 100)}_{int(f[1] * 100)}_{int(f[2] * 100)}"
+        index_file = self.data_dir / f"{self.split}_data{suffix}.json"
         if index_file.exists():
             with open(index_file) as f:
                 files = json.load(f)
@@ -171,7 +177,13 @@ class ShapeNetDataset:
                 if self.split_fractions is not None:
                     in_split = self._split_of_path(p) == self.split
                 else:
-                    in_split = self.split in str(p).lower()
+                    # match path *components* (or the file stem), not a raw
+                    # substring of the full path: a data_dir named e.g.
+                    # "train_set" must not swallow every file into 'train'
+                    rel = p.relative_to(self.data_dir)
+                    parts = [q.lower() for q in rel.parts[:-1]]
+                    in_split = (self.split in parts
+                                or self.split in p.stem.lower())
                 if in_split:
                     files.append({
                         "path": str(p),
@@ -282,7 +294,9 @@ class BatchLoader:
             idx = order[start:start + bs]
             pad = np.zeros((len(idx),), np.float32)
             if len(idx) < bs:  # wrap-around padding keeps shapes static
-                extra = order[: bs - len(idx)]
+                # np.resize tiles, so datasets smaller than the batch size
+                # still fill the batch
+                extra = np.resize(order, bs - len(idx))
                 idx = np.concatenate([idx, extra])
                 pad = np.concatenate([pad, np.ones((len(extra),), np.float32)])
             yield {"complete_pc": data[idx], "pad": pad}

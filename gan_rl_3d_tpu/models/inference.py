@@ -82,8 +82,22 @@ def _apply_discriminator(layers: list, x: Array, dtype,
 
 
 def prepare_inference_engine(model: dict, *, dtype=jnp.bfloat16) -> dict:
-    """Fold the full model into a deployment bundle for complete_fast."""
+    """Fold the full model into a deployment bundle for complete_fast.
+
+    Supports the primary architecture (pointnet encoder + MLP decoder).
+    The attention/adaptive variants carry ops that do not fold into plain
+    affine stacks; use models.rl_gan_net.complete for those."""
     ae_p, ae_s = model["ae"]["params"], model["ae"]["state"]
+    if "attention" in ae_p["encoder"]:
+        raise ValueError(
+            "inference engine folding supports the pointnet encoder; the "
+            "attention variant's data-dependent pooling cannot fold — use "
+            "models.rl_gan_net.complete")
+    if "mlp" not in ae_p["decoder"]:
+        raise ValueError(
+            "inference engine folding supports the MLP decoder; the "
+            "adaptive variant's residual refinement cannot fold — use "
+            "models.rl_gan_net.complete")
     lg_p, lg_s = model["lgan"]["params"], model["lgan"]["state"]
     actor = model["agent"]["actor"]
     def _maybe_cast(x):

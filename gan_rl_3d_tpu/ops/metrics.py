@@ -84,17 +84,21 @@ def evaluate_completion(
     metrics: tuple = ("chamfer_distance", "completion_ratio",
                       "hausdorff_distance"),
     fscore_threshold: float = 0.01,
+    reduce: bool = True,
 ) -> Dict[str, Array]:
-    """Batch-mean metric dict for a completion result."""
+    """Metric dict for a completion result: batch means, or per-sample (B,)
+    arrays with ``reduce=False`` (so callers can exclude padded rows)."""
     out = {}
     if "chamfer_distance" in metrics:
-        out["chamfer_distance"] = jnp.mean(chamfer_distance(pred, target))
+        out["chamfer_distance"] = chamfer_distance(pred, target)
     if "hausdorff_distance" in metrics:
-        out["hausdorff_distance"] = jnp.mean(hausdorff_distance(pred, target))
+        out["hausdorff_distance"] = hausdorff_distance(pred, target)
     if "completion_ratio" in metrics:
-        out["completion_ratio"] = jnp.mean(completion_ratio(pred, target))
+        out["completion_ratio"] = completion_ratio(pred, target)
     if "f_score" in metrics:
-        out["f_score"] = jnp.mean(f_score(pred, target, fscore_threshold))
+        out["f_score"] = f_score(pred, target, fscore_threshold)
     if "emd" in metrics:
-        out["emd"] = jnp.mean(emd_sinkhorn(pred, target))
+        out["emd"] = emd_sinkhorn(pred, target)
+    if reduce:
+        out = {k: jnp.mean(v) for k, v in out.items()}
     return out

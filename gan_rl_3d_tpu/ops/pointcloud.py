@@ -101,15 +101,16 @@ def augment(
     which decorrelates the AE target from its input; callers here share the
     transform by default (see ops.holes.make_training_pair).
     """
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     rot = rotation if rotation is not None else random_rotation_matrix(k4, pc.dtype)
     do_rot = jax.random.uniform(k1) < p_rotate
     pc = jnp.where(do_rot, rotate(pc, rot), pc)
     do_jit = jax.random.uniform(k2) < p_jitter
     pc = jnp.where(do_jit, jitter(k5, pc), pc)
+    # gate and factor need independent draws — sharing one key correlates
+    # the trigger with the value and truncates the scale range
     do_scale = jax.random.uniform(k3) < p_scale
-    s = jax.random.uniform(k3, (), pc.dtype, 0.8, 1.2)
-    pc = jnp.where(do_scale, pc * s, pc)
+    pc = jnp.where(do_scale, random_scale(k6, pc), pc)
     return pc
 
 

@@ -69,8 +69,8 @@ def parse_xyz_file(path: str, max_rows: int = _MAX_ROWS) -> np.ndarray:
     lib = _load()
     out = np.empty((max_rows, 3), np.float32)
     n = lib.grl_parse_xyz_file(path.encode(), _fptr(out), max_rows)
-    if n < 0:
-        raise IOError(f"cannot parse {path}")
+    if n <= 0:
+        raise IOError(f"cannot parse {path} (rows={n})")
     return out[:n].copy()
 
 
@@ -78,8 +78,8 @@ def parse_ply_file(path: str, max_rows: int = _MAX_ROWS) -> np.ndarray:
     lib = _load()
     out = np.empty((max_rows, 3), np.float32)
     n = lib.grl_parse_ply_file(path.encode(), _fptr(out), max_rows)
-    if n < 0:
-        raise IOError(f"cannot parse {path}")
+    if n <= 0:
+        raise IOError(f"cannot parse {path} (rows={n})")
     return out[:n].copy()
 
 
@@ -113,11 +113,13 @@ def load_files_parallel(paths: Sequence[str], target: int,
             n = lib.grl_parse_ply_file(path.encode(), _fptr(out), _MAX_ROWS)
         else:
             n = lib.grl_parse_xyz_file(path.encode(), _fptr(out), _MAX_ROWS)
-        if n < 0:
-            raise IOError(f"cannot parse {path}")
+        if n <= 0:
+            raise IOError(f"cannot parse {path} (rows={n})")
         res = np.empty((target, 3), np.float32)
-        lib.grl_resample(_fptr(out), n, _fptr(res), target,
-                         ctypes.c_uint64(seed + i))
+        r = lib.grl_resample(_fptr(out), n, _fptr(res), target,
+                             ctypes.c_uint64(seed + i))
+        if r < 0:
+            raise IOError(f"resample failed for {path}")
         return i, res
 
     result = np.empty((len(paths), target, 3), np.float32)

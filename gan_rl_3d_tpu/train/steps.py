@@ -280,7 +280,7 @@ def rl_step(
     episode the policy is the iteration's snapshot (the reference updates
     between steps; immaterial at 1 step, documented at >1).
     """
-    k_data, k_scan, k_samp, k_upd = jax.random.split(key, 4)
+    k_data, k_scan, k_upd = jax.random.split(key, 3)
     complete, incomplete, mask = pc_ops.make_training_batch(
         k_data, batch["complete_pc"], do_augment=False)
 
@@ -334,8 +334,12 @@ def rl_step(
         do_update, skip_update, model["agent"])
 
     new_model = dict(model, agent=agent)
-    # episode reward = per-env sum over the episode's steps
-    metrics = dict(metrics, reward=jnp.mean(jnp.sum(all_rewards, axis=0)))
+    # episode reward = per-env sum over the episode's steps, excluding
+    # wrap-around padded batch rows (their transitions are duplicates of
+    # real clouds, harmless in the buffer but excluded from the metric)
+    episode_rewards = jnp.sum(all_rewards, axis=0)
+    metrics = dict(metrics,
+                   reward=_masked_mean(episode_rewards, batch["pad"]))
     return new_model, buffer, new_ou, metrics
 
 
@@ -352,7 +356,8 @@ def make_joint_optimizer(cfg: JointTrainConfig):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("optimizer", "cfg"))
+@functools.partial(jax.jit, static_argnames=("optimizer", "cfg",
+                                             "compute_dtype"))
 def joint_train_step(
     model: dict,
     opt_state,
@@ -361,6 +366,7 @@ def joint_train_step(
     *,
     optimizer: optax.GradientTransformation,
     cfg: rl.TD3Config,
+    compute_dtype=None,
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """Joint fine-tune (reference train_joint_epoch,
     train_rl_gan_net.py:493-522): loss = Chamfer(decode(G(z)), complete) +
@@ -375,9 +381,13 @@ def joint_train_step(
                  "gen": model["lgan"]["params"]["generator"]}
 
     def loss_fn(tp):
+        x_in = incomplete
+        if compute_dtype is not None:
+            tp = _policy_cast(tp, compute_dtype)
+            x_in = incomplete.astype(compute_dtype)
         noisy_gfv, enc_state = ae.any_encoder_apply(
             tp["ae"]["encoder"], model["ae"]["state"]["encoder"],
-            incomplete, mask, training=True)
+            x_in, mask, training=True)
         z, _ = rl.actor_apply(model["agent"]["actor"]["params"],
                               model["agent"]["actor"]["state"],
                               noisy_gfv, cfg=cfg, training=False)

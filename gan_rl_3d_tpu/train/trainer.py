@@ -9,8 +9,9 @@ checkpoint save/load — re-orchestrated around jitted steps:
   and logs scalars;
 * batches are device_put sharded along the mesh "data" axis, parameters
   replicated — XLA all-reduces gradients over ICI;
-* the RL phase runs ``envs_per_step`` vectorised single-step episodes per
-  device program instead of the reference's one-sample Python episodes;
+* the RL phase runs ``envs_per_step`` vectorised episodes (of
+  ``steps_per_episode`` env steps each) per device program instead of the
+  reference's one-sample Python episodes;
 * d_steps discriminator updates per generator update are honoured
   (config'd but ignored in the reference, SURVEY.md §3.3 note).
 """
@@ -85,20 +86,25 @@ class RLGANNetTrainer:
         if not (data_dir / "train").exists():
             fractions = (cfg.data.train_split, cfg.data.val_split,
                          cfg.data.test_split)
-        self.train_loader = BatchLoader(
-            ShapeNetDataset(str(data_dir), "train",
-                            cfg.model.autoencoder.num_points,
-                            seed=cfg.training.seed,
-                            split_fractions=fractions),
-            bs, shuffle=True, seed=cfg.training.seed)
-        self.val_loader = BatchLoader(
-            ShapeNetDataset(str(data_dir), "test",
-                            cfg.model.autoencoder.num_points,
-                            seed=cfg.training.seed,
-                            split_fractions=fractions),
-            bs, shuffle=False, seed=cfg.training.seed)
+        def make_loader(split, shuffle):
+            return BatchLoader(
+                ShapeNetDataset(str(data_dir), split,
+                                cfg.model.autoencoder.num_points,
+                                seed=cfg.training.seed,
+                                split_fractions=fractions),
+                bs, shuffle=shuffle, seed=cfg.training.seed)
+
+        self.train_loader = make_loader("train", True)
+        # best-checkpoint selection uses the val split when it has data;
+        # the test split is reserved for final evaluation (the reference
+        # validates directly on 'test', train_rl_gan_net.py:147-154)
+        self.val_loader = make_loader("val", False)
+        self.test_loader = make_loader("test", False)
+        if len(self.val_loader.dataset) == 0:
+            self.val_loader = self.test_loader
         print(f"Training samples: {len(self.train_loader.dataset)}")
         print(f"Validation samples: {len(self.val_loader.dataset)}")
+        print(f"Test samples: {len(self.test_loader.dataset)}")
 
     def _put(self, batch):
         return mesh_lib.shard_batch(self.mesh, batch)
@@ -343,7 +349,8 @@ class RLGANNetTrainer:
             for batch in self.train_loader:
                 self.model, opt_state, m = steps.joint_train_step(
                     self.model, opt_state, self._put(batch),
-                    self._next_key(), optimizer=optimizer, cfg=self.td3)
+                    self._next_key(), optimizer=optimizer, cfg=self.td3,
+                    compute_dtype=self.compute_dtype)
                 losses.append(m["loss"])
             train_loss = float(jnp.mean(jnp.stack(losses)))
 

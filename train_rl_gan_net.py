@@ -25,6 +25,9 @@ def parse_arguments():
     parser.add_argument("--profile", action="store_true",
                         help="Capture a jax.profiler device trace into "
                              "<log_dir>/profile")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="Enable jax_debug_nans: fail fast with a "
+                             "traceback at the first non-finite value")
     return parser.parse_args()
 
 
@@ -32,6 +35,9 @@ def main():
     from gan_rl_3d_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     args = parse_arguments()
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
     trainer = RLGANNetTrainer(args.config)
     resumed = bool(args.resume) and trainer.load_checkpoint(args.resume)
     from gan_rl_3d_tpu.utils.profiling import trace
