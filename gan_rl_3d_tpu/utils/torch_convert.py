@@ -120,6 +120,35 @@ def convert_latent_gan(sd: Dict) -> Tuple[dict, dict]:
 
 
 # ---------------------------------------------------------------------------
+# Alternate architectures (reference models/autoencoder.py:174-323)
+# ---------------------------------------------------------------------------
+
+
+def convert_attention_encoder(sd: Dict, prefix: str = "") -> Tuple[dict, dict]:
+    """PointNetWithAttention -> models.variants attention encoder."""
+    mlp_p, mlp_s = convert_bn_mlp(sd, f"{prefix}point_mlp")
+    head_p, head_s = convert_bn_mlp(sd, f"{prefix}global_mlp")
+    att = {"fc1": _dense_from(sd, f"{prefix}attention.0"),
+           "fc2": _dense_from(sd, f"{prefix}attention.2")}
+    params = {"point_mlp": mlp_p, "attention": att, "head": head_p}
+    state = {"point_mlp": mlp_s, "head": head_s}
+    return params, state
+
+
+def convert_adaptive_decoder(sd: Dict, prefix: str = "") -> Tuple[dict, dict]:
+    """AdaptivePointDecoder -> models.variants adaptive decoder."""
+    feat_p, feat_s = convert_bn_mlp(sd, f"{prefix}feature_mlp")
+    gen = _dense_from(sd, f"{prefix}point_mlp.0")
+    refine = {"conv1": _dense_from(sd, f"{prefix}refine_mlp.0"),
+              "conv2": _dense_from(sd, f"{prefix}refine_mlp.3")}
+    bn_p, bn_s = _bn_from(sd, f"{prefix}refine_mlp.1")
+    refine["bn"] = bn_p
+    params = {"feature_mlp": feat_p, "gen": gen, "refine": refine}
+    state = {"feature_mlp": feat_s, "refine_bn": bn_s}
+    return params, state
+
+
+# ---------------------------------------------------------------------------
 # TD3 agent (reference models/rl_agent.py:16-133, 369-395)
 # ---------------------------------------------------------------------------
 

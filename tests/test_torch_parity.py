@@ -130,3 +130,47 @@ def test_composite_inference_parity(torch_ae):
     out = net.complete(model, jnp.asarray(x), cfg=config.td3_config())
     np.testing.assert_allclose(np.asarray(out["hybrid_output"]), hybrid_t,
                                **TOL)
+
+
+def test_attention_encoder_parity():
+    from models.autoencoder import PointNetWithAttention
+
+    from gan_rl_3d_tpu.models import variants
+
+    torch.manual_seed(5)
+    m = PointNetWithAttention()
+    m.eval()
+    params, state = tc.convert_attention_encoder(m.state_dict())
+    x = np.random.RandomState(5).randn(4, 512, 3).astype(np.float32)
+    with torch.no_grad():
+        gfv_t = m(torch.from_numpy(x)).numpy()
+    gfv_j, _ = variants.attention_encoder_apply(params, state,
+                                                jnp.asarray(x),
+                                                training=False)
+    np.testing.assert_allclose(np.asarray(gfv_j), gfv_t, **TOL)
+
+
+def test_adaptive_decoder_parity():
+    from models.autoencoder import AdaptivePointDecoder
+
+    from gan_rl_3d_tpu.models import variants
+
+    torch.manual_seed(6)
+    m = AdaptivePointDecoder(max_points=512)
+    m.eval()
+    params, state = tc.convert_adaptive_decoder(m.state_dict())
+    gfv = np.random.RandomState(6).randn(4, 128).astype(np.float32)
+    with torch.no_grad():
+        pc_t = m(torch.from_numpy(gfv)).numpy()
+    pc_j, _ = variants.adaptive_decoder_apply(params, state,
+                                              jnp.asarray(gfv),
+                                              training=False)
+    np.testing.assert_allclose(np.asarray(pc_j), pc_t, **TOL)
+    # variable point count matches the reference slicing
+    with torch.no_grad():
+        pc_t256 = m(torch.from_numpy(gfv), num_points=256).numpy()
+    pc_j256, _ = variants.adaptive_decoder_apply(params, state,
+                                                 jnp.asarray(gfv),
+                                                 num_points=256,
+                                                 training=False)
+    np.testing.assert_allclose(np.asarray(pc_j256), pc_t256, **TOL)
