@@ -35,7 +35,7 @@ def _timed(fn_chain, warm_out, iters: int) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def bench_completion(batch_sizes=(1024, 4096), iters: int = 20) -> float:
+def bench_completion(batch_sizes=(4096, 8192), iters: int = 15) -> float:
     from gan_rl_3d_tpu.config import Config
     from gan_rl_3d_tpu.models import inference
     from gan_rl_3d_tpu.models import rl_gan_net as net
