@@ -75,15 +75,24 @@ def main():
         out = fn(engine, x, mask)
         result = np.asarray(out[args.output], np.float32)
     else:
-        from gan_rl_3d_tpu.train import RLGANNetTrainer
+        # serving needs no dataset/trainer: init the model skeleton and
+        # restore the checkpoint directly
+        from pathlib import Path as _P
+
         from gan_rl_3d_tpu.models import rl_gan_net as net
-        trainer = RLGANNetTrainer(config)
+        from gan_rl_3d_tpu.utils import checkpoint as ckpt_lib
+
+        model = net.init_model(jax.random.PRNGKey(0), config)
         if args.checkpoint:
-            trainer.load_checkpoint(args.checkpoint)
-        fn = jax.jit(lambda m, pc_, mk: net.complete(m, pc_, mk,
-                                                     cfg=trainer.td3))
+            path = _P(config.training.checkpoint_dir) / args.checkpoint
+            target = {"model": model,
+                      "meta": {"epoch": np.int32(0),
+                               "phase_idx": np.int32(0)}}
+            model = ckpt_lib.load_checkpoint(str(path), target)["model"]
+        td3 = config.td3_config()
+        fn = jax.jit(lambda m, pc_, mk: net.complete(m, pc_, mk, cfg=td3))
         t0 = time.perf_counter()
-        out = fn(trainer.model, x, mask)
+        out = fn(model, x, mask)
         result = np.asarray(out[args.output])
     dt = time.perf_counter() - t0
 
