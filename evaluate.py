@@ -62,8 +62,11 @@ def main():
             k, jnp.asarray(batch["complete_pc"]), do_augment=False)
         out = complete_fn(model, incomplete, mask)
         pred = out[args.output]
-        metrics = evaluate_completion(pred, complete_pc, metric_names,
-                                      reduce=False)
+        metrics = evaluate_completion(
+            pred, complete_pc, metric_names,
+            fscore_threshold=config.evaluation.fscore_threshold,
+            completion_threshold=config.evaluation.completion_threshold,
+            reduce=False)
         # exclude wrap-around padded duplicate rows from aggregation
         keep = np.asarray(batch["pad"] == 0)
         for m in metric_names:

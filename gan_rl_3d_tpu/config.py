@@ -160,6 +160,8 @@ class EvaluationConfig:
                                 "hausdorff_distance")
     save_visualizations: bool = True
     eval_frequency: int = 10
+    fscore_threshold: float = 0.01
+    completion_threshold: float = 0.03
 
 
 @dataclass(frozen=True)

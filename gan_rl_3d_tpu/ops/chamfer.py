@@ -104,11 +104,17 @@ def _nn_kernel(a_ref, b_ref, a2_ref, b2_ref, dmin_ref, idx_ref):
 
 
 def _nearest_pallas_fwd(a: Array, b: Array, tn: int, tm: int,
-                        interpret: bool) -> Tuple[Array, Array]:
+                        interpret: bool,
+                        b_mask: Optional[Array] = None) -> Tuple[Array, Array]:
     bsz, n, _ = a.shape
     m = b.shape[1]
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)          # (B, N, 1)
     b2 = jnp.sum(b * b, axis=-1)[:, None, :]             # (B, 1, M)
+    if b_mask is not None:
+        # masking folds into the precomputed column norms: d2 = a2+b2-2ab,
+        # so inflating b2 for invalid points keeps them from ever being the
+        # minimum — the kernel needs no mask awareness at all
+        b2 = b2 + (1.0 - b_mask.astype(jnp.float32))[:, None, :] * _BIG
     grid = (bsz, pl.cdiv(n, tn), pl.cdiv(m, tm))
     dmin2, idx = pl.pallas_call(
         _nn_kernel,
@@ -271,13 +277,14 @@ def _scatter_db(idx: Array, da: Array, m: int, tn: int, tm: int,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _nearest_tpu(a: Array, b: Array, tn: int, tm: int, interpret: bool):
-    return _nearest_pallas_fwd(a, b, tn, tm, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _nearest_tpu(a: Array, b: Array, b_mask: Optional[Array],
+                 tn: int, tm: int, interpret: bool):
+    return _nearest_pallas_fwd(a, b, tn, tm, interpret, b_mask)
 
 
-def _nearest_tpu_fwd(a, b, tn, tm, interpret):
-    dist, idx = _nearest_pallas_fwd(a, b, tn, tm, interpret)
+def _nearest_tpu_fwd(a, b, b_mask, tn, tm, interpret):
+    dist, idx = _nearest_pallas_fwd(a, b, tn, tm, interpret, b_mask)
     return (dist, idx), (a, b, dist, idx)
 
 
@@ -289,9 +296,11 @@ def _nearest_tpu_bwd(tn, tm, interpret, res, cotangents):
     safe = jnp.where(dist > 1e-6, g / jnp.maximum(dist, 1e-6), 0.0)
     da = safe[..., None] * (a - b_near)
     # b_j accumulates -sum_{i: idx_i = j} da_i (mask-matmul kernel; the
-    # equivalent scatter-add serialises on TPU)
+    # equivalent scatter-add serialises on TPU). Masked b points are never
+    # selected, so they correctly receive zero gradient; the mask itself
+    # gets no cotangent.
     db = _scatter_db(idx, da, b.shape[1], tn, tm, interpret)
-    return da, db
+    return da, db, None
 
 
 _nearest_tpu.defvjp(_nearest_tpu_fwd, _nearest_tpu_bwd)
@@ -313,8 +322,9 @@ def nearest_distances(
     Args:
       a: (B, N, 3) query cloud.
       b: (B, M, 3) target cloud.
-      b_mask: optional (B, M) bool validity mask for b (masked points never
-        selected). Masked mode uses the jnp path.
+      b_mask: optional (B, M) validity mask for b — masked points can never
+        be the nearest neighbour (folded into the kernel's column norms as
+        a +BIG penalty).
       use_pallas: force/disable the Pallas kernel. Default: on for clean
         f32 inputs whose sizes tile evenly; interpret mode on CPU.
     Returns:
@@ -324,13 +334,13 @@ def nearest_distances(
     b = b.astype(jnp.float32)
     n, m = a.shape[1], b.shape[1]
     tn, tm = min(tile_n, n), min(tile_m, m)
-    ok = b_mask is None and n % tn == 0 and m % tm == 0
+    ok = n % tn == 0 and m % tm == 0
     if use_pallas is None:
         use_pallas = ok
     if not (use_pallas and ok):
         return _nearest_jnp(a, b, b_mask)
     interpret = jax.default_backend() != "tpu"
-    return _nearest_tpu(a, b, tn, tm, interpret)
+    return _nearest_tpu(a, b, b_mask, tn, tm, interpret)
 
 
 # ---------------------------------------------------------------------------

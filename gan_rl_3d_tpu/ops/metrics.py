@@ -84,6 +84,7 @@ def evaluate_completion(
     metrics: tuple = ("chamfer_distance", "completion_ratio",
                       "hausdorff_distance"),
     fscore_threshold: float = 0.01,
+    completion_threshold: float = 0.03,
     reduce: bool = True,
 ) -> Dict[str, Array]:
     """Metric dict for a completion result: batch means, or per-sample (B,)
@@ -94,7 +95,8 @@ def evaluate_completion(
     if "hausdorff_distance" in metrics:
         out["hausdorff_distance"] = hausdorff_distance(pred, target)
     if "completion_ratio" in metrics:
-        out["completion_ratio"] = completion_ratio(pred, target)
+        out["completion_ratio"] = completion_ratio(pred, target,
+                                                   completion_threshold)
     if "f_score" in metrics:
         out["f_score"] = f_score(pred, target, fscore_threshold)
     if "emd" in metrics:

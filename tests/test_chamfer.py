@@ -103,3 +103,39 @@ def test_chamfer_in_jit_and_vmap(clouds):
     d = jitted(a, b)
     assert d.shape == (2,)
     assert np.all(np.isfinite(np.asarray(d)))
+
+
+def test_masked_pallas_matches_masked_jnp():
+    """b-side masking runs through the Pallas kernel (folded into the
+    column norms) and must match the jnp masked reference, values and
+    gradients."""
+    rng = np.random.RandomState(7)
+    a = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(2, 512, 3).astype(np.float32))
+    b_mask = jnp.asarray((rng.rand(2, 512) > 0.4).astype(np.float32))
+
+    d_pl, i_pl = chamfer.nearest_distances(a, b, b_mask=b_mask,
+                                           use_pallas=True)
+    d_j, i_j = chamfer.nearest_distances(a, b, b_mask=b_mask,
+                                         use_pallas=False)
+    np.testing.assert_allclose(np.asarray(d_pl), np.asarray(d_j),
+                               rtol=1e-4, atol=1e-5)
+    # selected indices must always be valid points
+    sel_valid = np.take_along_axis(np.asarray(b_mask), np.asarray(i_pl),
+                                   axis=1)
+    assert (sel_valid > 0).all()
+
+    def loss(fn_flag):
+        return lambda x, y: jnp.mean(chamfer.chamfer_distance(
+            x, y, b_mask=b_mask, use_pallas=fn_flag))
+
+    ga_p, gb_p = jax.grad(loss(True), argnums=(0, 1))(a, b)
+    ga_j, gb_j = jax.grad(loss(False), argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(ga_p), np.asarray(ga_j),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_p), np.asarray(gb_j),
+                               rtol=1e-3, atol=1e-5)
+    # masked b points receive zero gradient
+    gb = np.asarray(gb_p)
+    masked_rows = np.asarray(b_mask) == 0
+    np.testing.assert_allclose(gb[masked_rows], 0.0, atol=1e-7)
