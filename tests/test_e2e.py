@@ -84,3 +84,15 @@ def test_checkpoint_roundtrip(tiny_config):
     np.testing.assert_allclose(w_after, w_before + 0.125, rtol=1e-6)
     trainer.close()
     trainer2.close()
+
+
+def test_training_determinism(tiny_config):
+    """Same config/seed -> bit-identical training trajectories (explicit
+    PRNG keys everywhere; no hidden global state)."""
+    def run():
+        t = RLGANNetTrainer(tiny_config, use_orbax=False)
+        loss = t.train_autoencoder(1)
+        t.close()
+        return loss
+
+    assert run() == run()
