@@ -4,7 +4,11 @@
 Reads .txt/.pts/.ply/.h5 clouds, runs the full jitted completion pipeline
 (encoder -> agent -> generator -> decoder + hybrid gate) from either a
 training checkpoint or an exported deployment engine, and writes colored
-PLY results.
+PLY results **in the input's original coordinate frame** (the unit-sphere
+normalisation applied for the model is inverted on output).
+
+Inputs are processed in fixed-size chunks (one compiled shape, bounded
+device memory), so arbitrarily large globs work.
 
 Examples:
   python complete_clouds.py --checkpoint joint_best cloud1.ply cloud2.txt
@@ -36,71 +40,80 @@ def main():
     parser.add_argument("--output", type=str, default="hybrid_output",
                         choices=["hybrid_output", "completed_pc",
                                  "ae_reconstruction"])
+    parser.add_argument("--batch-size", type=int, default=64,
+                        help="fixed chunk size (one compiled shape)")
     args = parser.parse_args()
 
+    if not args.checkpoint and not args.engine:
+        parser.error("pass --checkpoint or --engine: serving a randomly "
+                     "initialized model would silently produce garbage")
+
     from gan_rl_3d_tpu.config import load_config
-    from gan_rl_3d_tpu.data.dataset import load_point_cloud
-    from gan_rl_3d_tpu.ops.pointcloud import normalize_unit_sphere
+    from gan_rl_3d_tpu.data.dataset import load_point_cloud, resample_with_mask
     from gan_rl_3d_tpu.utils import ply
 
     config = load_config(args.config)
     n_points = config.model.autoencoder.num_points
 
-    # load + resample + normalise inputs (fixed shapes, repeat-pad)
+    # load + resample; remember each cloud's centroid/scale so results map
+    # back to the input coordinate frame
     rng = np.random.RandomState(0)
-    clouds, masks, names = [], [], []
+    clouds, masks, names, frames = [], [], [], []
     for path in args.inputs:
-        pc = load_point_cloud(path)
-        n = len(pc)
-        if n >= n_points:
-            pc = pc[rng.choice(n, n_points, replace=False)]
-            mask = np.ones(n_points, np.float32)
-        else:
-            pad = pc[rng.randint(0, n, n_points - n)]
-            pc = np.concatenate([pc, pad])
-            mask = np.concatenate([np.ones(n, np.float32),
-                                   np.zeros(n_points - n, np.float32)])
-        clouds.append(pc)
+        try:
+            raw = load_point_cloud(path)
+        except (IOError, ValueError) as e:
+            parser.error(f"{path}: cannot load ({e})")
+        if len(raw) == 0:
+            parser.error(f"{path}: no points parsed")
+        pc, mask = resample_with_mask(raw, n_points, rng)
+        valid = pc[mask > 0]
+        centroid = valid.mean(axis=0)
+        scale = float(np.linalg.norm(valid - centroid, axis=1).max()) or 1.0
+        clouds.append((pc - centroid) / scale)
         masks.append(mask)
         names.append(Path(path).stem)
-    x = jnp.asarray(np.stack(clouds))
-    mask = jnp.asarray(np.stack(masks))
-    x = normalize_unit_sphere(x, mask)
+        frames.append((centroid, scale))
 
     if args.engine:
         from gan_rl_3d_tpu.models import inference
-        engine = inference.load_engine(args.engine)
-        fn = jax.jit(lambda e, pc_, m: inference.complete_fast(e, pc_, m))
-        t0 = time.perf_counter()
-        out = fn(engine, x, mask)
-        result = np.asarray(out[args.output], np.float32)
+        weights = inference.load_engine(args.engine)
+        fn = jax.jit(lambda w, pc_, m: inference.complete_fast(
+            w, pc_, m)[args.output].astype(jnp.float32))
     else:
-        # serving needs no dataset/trainer: init the model skeleton and
-        # restore the checkpoint directly
-        from pathlib import Path as _P
-
         from gan_rl_3d_tpu.models import rl_gan_net as net
         from gan_rl_3d_tpu.utils import checkpoint as ckpt_lib
 
         model = net.init_model(jax.random.PRNGKey(0), config)
-        if args.checkpoint:
-            path = _P(config.training.checkpoint_dir) / args.checkpoint
-            target = {"model": model,
-                      "meta": {"epoch": np.int32(0),
-                               "phase_idx": np.int32(0)}}
-            model = ckpt_lib.load_checkpoint(str(path), target)["model"]
+        path = Path(config.training.checkpoint_dir) / args.checkpoint
+        target = {"model": model,
+                  "meta": {"epoch": np.int32(0), "phase_idx": np.int32(0)}}
+        weights = ckpt_lib.load_checkpoint(str(path), target)["model"]
         td3 = config.td3_config()
-        fn = jax.jit(lambda m, pc_, mk: net.complete(m, pc_, mk, cfg=td3))
-        t0 = time.perf_counter()
-        out = fn(model, x, mask)
-        result = np.asarray(out[args.output])
-    dt = time.perf_counter() - t0
+        fn = jax.jit(lambda w, pc_, m: net.complete(
+            w, pc_, m, cfg=td3)[args.output])
 
+    # fixed-size chunks: pad the last one so every call reuses one trace
+    bs = max(1, min(args.batch_size, len(clouds)))
     out_dir = Path(args.output_dir)
-    for i, name in enumerate(names):
-        dest = out_dir / f"{name}_completed.ply"
-        ply.save_ply(str(dest), result[i])
-        print(f"{args.inputs[i]} -> {dest}")
+    t0 = time.perf_counter()
+    for start in range(0, len(clouds), bs):
+        chunk = clouds[start:start + bs]
+        cmask = masks[start:start + bs]
+        n_real = len(chunk)
+        while len(chunk) < bs:
+            chunk.append(chunk[-1])
+            cmask.append(cmask[-1])
+        result = np.asarray(fn(weights, jnp.asarray(np.stack(chunk)),
+                               jnp.asarray(np.stack(cmask))))
+        for j in range(n_real):
+            i = start + j
+            centroid, scale = frames[i]
+            restored = result[j] * scale + centroid
+            dest = out_dir / f"{names[i]}_completed.ply"
+            ply.save_ply(str(dest), restored)
+            print(f"{args.inputs[i]} -> {dest}")
+    dt = time.perf_counter() - t0
     print(f"completed {len(names)} clouds in {dt:.2f}s "
           f"(includes first-call compile)")
 

@@ -71,7 +71,10 @@ def load_txt(path: Path) -> np.ndarray:
         from gan_rl_3d_tpu.runtime import parse_xyz_file  # C++ fast path
         return parse_xyz_file(str(path))
     except (ImportError, OSError):
-        return np.loadtxt(path).astype(np.float32)[:, :3]
+        arr = np.atleast_2d(np.loadtxt(path).astype(np.float32))
+        if arr.size == 0:
+            return np.zeros((0, 3), np.float32)
+        return arr[:, :3]
 
 
 def load_h5(path: Path) -> np.ndarray:
@@ -94,6 +97,26 @@ def load_point_cloud(path: str) -> np.ndarray:
     if p.suffix == ".h5":
         return load_h5(p)
     raise ValueError(f"unsupported point-cloud format: {p.suffix}")
+
+
+def resample_with_mask(pc: np.ndarray, num_points: int,
+                       rng: np.random.RandomState
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Resample one cloud to exactly ``num_points`` rows: subsample without
+    replacement when larger, repeat-pad when smaller. Returns
+    (points (num_points, 3), validity mask (num_points,)). The single
+    implementation of the pad-by-repeat convention shared by the dataset,
+    the alternate dataset and the serving CLI."""
+    n = len(pc)
+    if n == 0:
+        raise ValueError("cannot resample an empty point cloud")
+    if n >= num_points:
+        idx = rng.choice(n, num_points, replace=False)
+        return pc[idx].astype(np.float32), np.ones(num_points, np.float32)
+    pad = pc[rng.randint(0, n, num_points - n)]
+    mask = np.concatenate([np.ones(n, np.float32),
+                           np.zeros(num_points - n, np.float32)])
+    return np.concatenate([pc, pad]).astype(np.float32), mask
 
 
 # ---------------------------------------------------------------------------
@@ -205,15 +228,7 @@ class ShapeNetDataset:
     # -- loading ----------------------------------------------------------
 
     def _resample(self, pc: np.ndarray) -> np.ndarray:
-        n = len(pc)
-        if n == 0:
-            return np.zeros((self.num_points, 3), np.float32)
-        if n > self.num_points:
-            idx = self._rng.choice(n, self.num_points, replace=False)
-            return pc[idx]
-        if n < self.num_points:
-            pad = pc[self._rng.choice(n, self.num_points - n)]
-            return np.concatenate([pc, pad], axis=0)
+        pc, _mask = resample_with_mask(pc, self.num_points, self._rng)
         return pc
 
     def _build_cache(self) -> None:

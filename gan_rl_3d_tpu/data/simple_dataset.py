@@ -67,11 +67,12 @@ class PointCloudDataset:
         return len(self.data)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        from gan_rl_3d_tpu.data.dataset import resample_with_mask
+
         pc = self.data[idx]
         n = self.num_points
         if len(pc) != n:
-            sel = self._rng.choice(len(pc), n, replace=len(pc) < n)
-            pc = pc[sel]
+            pc, _ = resample_with_mask(pc, n, self._rng)
         # normalise to the unit sphere
         pc = pc - pc.mean(axis=0)
         scale = np.linalg.norm(pc, axis=1).max()
