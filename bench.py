@@ -49,6 +49,20 @@ def bench_completion(batch_sizes=(4096, 8192), iters: int = 15) -> float:
     fast_fn = jax.jit(lambda e, x: inference.complete_fast(
         e, x, dtype=jnp.bfloat16)["hybrid_output"].astype(jnp.float32))
 
+    # real-time serving latency: one cloud end to end (the reference's
+    # headline claim is 0.04 s/cloud at batch 1, results_viewer.html:40)
+    one = jax.random.normal(jax.random.PRNGKey(2), (1, 2048, 3), jnp.float32)
+
+    def chain1(n):
+        x = one
+        for _ in range(n):
+            x = ref_fn(model, x)
+        return x
+
+    lat = _timed(chain1, ref_fn(model, one), 50)
+    print(f"# batch-1 latency: {lat * 1e3:.3f} ms/cloud "
+          f"(reference: ~40 ms/cloud)", flush=True)
+
     best = 0.0
     for name, f, arg in (("f32 reference path", ref_fn, model),
                          ("bf16 fused engine", fast_fn, engine)):
