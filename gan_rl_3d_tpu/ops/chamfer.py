@@ -77,15 +77,16 @@ def _nn_kernel(a_ref, b_ref, a2_ref, b2_ref, dmin_ref, idx_ref):
     mi = pl.program_id(2)
     tm = b_ref.shape[1]
 
-    a = a_ref[0]  # (TN, 3)
+    a = a_ref[0]  # (TN, 3) — pre-scaled by -2 so d2 = a2 + b2 + cross
     b = b_ref[0]  # (TM, 3)
     cross = jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (TN, TM)
+    )  # (TN, TM) = -2 * <a, b>
     # no per-tile clamp: min is monotone, so clamping the reduced minimum
-    # once (at the sqrt) is equivalent and saves a full VPU pass per tile
-    d2 = a2_ref[0] + b2_ref[0] - 2.0 * cross  # (TN,1)+(1,TM) broadcast
+    # once (at the sqrt) is equivalent and saves a full VPU pass per tile;
+    # folding the -2 into the matmul operand saves another
+    d2 = (a2_ref[0] + b2_ref[0]) + cross  # same association as before
 
     tile_min = jnp.min(d2, axis=1)  # (TN,)
     tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + mi * tm  # (TN,)
@@ -115,6 +116,7 @@ def _nearest_pallas_fwd(a: Array, b: Array, tn: int, tm: int,
         # so inflating b2 for invalid points keeps them from ever being the
         # minimum — the kernel needs no mask awareness at all
         b2 = b2 + (1.0 - b_mask.astype(jnp.float32))[:, None, :] * _BIG
+    a_scaled = a * -2.0
     grid = (bsz, pl.cdiv(n, tn), pl.cdiv(m, tm))
     dmin2, idx = pl.pallas_call(
         _nn_kernel,
@@ -145,7 +147,7 @@ def _nearest_pallas_fwd(a: Array, b: Array, tn: int, tm: int,
             bytes_accessed=4 * bsz * (n * 3 + m * 3 + 2 * n),
             transcendentals=0,
         ),
-    )(a, b, a2, b2)
+    )(a_scaled, b, a2, b2)
     # clamp: cancellation can leave d2 slightly negative, and sqrt'(0)=inf
     # would NaN the VJP at exact-zero distances
     return jnp.sqrt(jnp.maximum(dmin2[:, 0, :], 1e-12)), idx[:, 0, :]
@@ -159,13 +161,13 @@ def _nearest_pallas_fwd(a: Array, b: Array, tn: int, tm: int,
 
 def _nn_min_kernel(a_ref, b_ref, a2_ref, b2_ref, dmin_ref):
     mi = pl.program_id(2)
-    a = a_ref[0]
+    a = a_ref[0]  # pre-scaled by -2 (see _nn_kernel)
     b = b_ref[0]
     cross = jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    d2 = a2_ref[0] + b2_ref[0] - 2.0 * cross
+    d2 = (a2_ref[0] + b2_ref[0]) + cross
     tile_min = jnp.min(d2, axis=1)
 
     @pl.when(mi == 0)
@@ -195,6 +197,7 @@ def nearest_min_distances(a: Array, b: Array, *, tile_n: int = 256,
         return d
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1)[:, None, :]
+    a_scaled = a * -2.0
     dmin2 = pl.pallas_call(
         _nn_min_kernel,
         grid=(bsz, n // tn, m // tm),
@@ -212,7 +215,7 @@ def nearest_min_distances(a: Array, b: Array, *, tile_n: int = 256,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, 1, n), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(a, b, a2, b2)
+    )(a_scaled, b, a2, b2)
     return jnp.sqrt(jnp.maximum(dmin2[:, 0, :], 1e-12))
 
 

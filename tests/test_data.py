@@ -76,3 +76,18 @@ def test_batch_loader_fixed_shapes(tmp_path):
     # drop_last
     loader2 = ds.BatchLoader(d, batch_size=4, shuffle=False, drop_last=True)
     assert len(list(loader2)) == 1
+
+
+def test_h5_loader(tmp_path):
+    import h5py
+
+    pts = np.random.RandomState(4).randn(100, 3).astype(np.float32)
+    with h5py.File(tmp_path / "cloud.h5", "w") as f:
+        f.create_dataset("data", data=pts)
+    loaded = ds.load_h5(tmp_path / "cloud.h5")
+    np.testing.assert_allclose(loaded, pts, atol=1e-6)
+    # alternate key name
+    with h5py.File(tmp_path / "cloud2.h5", "w") as f:
+        f.create_dataset("points", data=pts)
+    np.testing.assert_allclose(ds.load_h5(tmp_path / "cloud2.h5"), pts,
+                               atol=1e-6)

@@ -29,3 +29,15 @@ def test_trace_disabled(tmp_path):
     with profiling.trace(str(tmp_path / "off"), enabled=False):
         pass
     assert not (tmp_path / "off").exists()
+
+
+def test_tensorboard_logging(tmp_path):
+    """logging.use_tensorboard writes tfevents with the reference's tags."""
+    from gan_rl_3d_tpu.utils.metrics_logging import MetricsLogger
+
+    logger = MetricsLogger(str(tmp_path), use_tensorboard=True)
+    logger.log_scalar("AE/Train_Loss", 0.5, 1)
+    logger.close()
+    events = list(tmp_path.glob("events.out.tfevents.*"))
+    assert events, "no tfevents written"
+    assert (tmp_path / "metrics.jsonl").read_text().count("AE/Train_Loss")
