@@ -121,15 +121,24 @@ def augment(
 
 
 def _keep_reorder(pc: Array, score: Array, n_keep: Array) -> Tuple[Array, Array]:
-    """Keep the n_keep lowest-score points, gathered to the front; fill the
-    tail by cyclically repeating kept points. Returns (pc_out, mask)."""
+    """Keep the n_keep lowest-score points, sorted to the front; fill the
+    tail by repeating kept points. Returns (pc_out, mask).
+
+    Implementation: one multi-operand sort carries the coordinates along
+    with the score keys (no gathers — chained gathers cost more than the
+    sort itself on TPU), and the tail fill is a dynamic roll. For i >=
+    n_keep, roll(sorted, n_keep)[i] == sorted[i - n_keep] == sorted[i %
+    n_keep] because the kept fraction is always >= 1/2 — identical to
+    cyclic repeat-padding."""
     n = pc.shape[0]
-    order = jnp.argsort(score)  # kept points first
+    _, sx, sy, sz = jax.lax.sort(
+        (score, pc[:, 0], pc[:, 1], pc[:, 2]), num_keys=1)
+    sorted_pc = jnp.stack([sx, sy, sz], axis=1)
     ranks = jnp.arange(n)
-    src = jnp.where(ranks < n_keep, ranks, ranks % jnp.maximum(n_keep, 1))
-    out = pc[order[src]]
-    mask = (ranks < n_keep).astype(pc.dtype)
-    return out, mask
+    keep = ranks < n_keep
+    out = jnp.where(keep[:, None], sorted_pc,
+                    jnp.roll(sorted_pc, n_keep, axis=0))
+    return out, keep.astype(pc.dtype)
 
 
 def cut_holes(
