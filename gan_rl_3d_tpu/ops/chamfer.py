@@ -255,6 +255,53 @@ def _nn_bwd_kernel(idx_ref, da_ref, out_ref):
         out_ref[0] = out_ref[0] - contrib
 
 
+def _gather_rows_kernel(idx_ref, b_ref, out_ref):
+    """out[i] = b[idx_i] as a one-hot matmul (the XLA batched gather costs
+    ~2x this kernel on TPU). Grid (B, N/TN, M/TM), accumulating over M:
+    exactly one membership hit per row, so the sum is the selected row.
+    Blocks: idx (1, TN, 1) int32, b (1, TM, 3), out (1, TN, 3)."""
+    mi = pl.program_id(2)
+    idx = idx_ref[0]          # (TN, 1)
+    b = b_ref[0]              # (TM, 3)
+    tn = idx.shape[0]
+    tm = b.shape[0]
+    j = mi * tm + jax.lax.broadcasted_iota(jnp.int32, (tn, tm), 1)
+    mask = (idx == j).astype(jnp.float32)  # (TN, TM)
+    contrib = jax.lax.dot_general(
+        mask, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TN, 3)
+
+    @pl.when(mi == 0)
+    def _init():
+        out_ref[0] = contrib
+
+    @pl.when(mi > 0)
+    def _accum():
+        out_ref[0] = out_ref[0] + contrib
+
+
+def _gather_rows(idx: Array, b: Array, tn: int, tm: int,
+                 interpret: bool) -> Array:
+    """Batched row gather b[batch, idx[batch, i]] -> (B, N, 3)."""
+    bsz, n = idx.shape
+    m = b.shape[1]
+    return pl.pallas_call(
+        _gather_rows_kernel,
+        grid=(bsz, n // tn, m // tm),
+        in_specs=[
+            pl.BlockSpec((1, tn, 1), lambda bi, ni, mi: (bi, ni, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 3), lambda bi, ni, mi: (bi, mi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tn, 3), lambda bi, ni, mi: (bi, ni, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, n, 3), jnp.float32),
+        interpret=interpret,
+    )(idx[..., None], b)
+
+
 def _scatter_db(idx: Array, da: Array, m: int, tn: int, tm: int,
                 interpret: bool) -> Array:
     """Accumulate -da into db at positions idx. idx, da: (B, N[, .])."""
@@ -295,7 +342,7 @@ def _nearest_tpu_bwd(tn, tm, interpret, res, cotangents):
     a, b, dist, idx = res
     g, _ = cotangents  # cotangent on idx is meaningless (integer output)
     # d dist_i / d a_i = (a_i - b_{idx_i}) / dist_i
-    b_near = jnp.take_along_axis(b, idx[..., None], axis=1)  # (B, N, 3)
+    b_near = _gather_rows(idx, b, tn, tm, interpret)  # (B, N, 3)
     safe = jnp.where(dist > 1e-6, g / jnp.maximum(dist, 1e-6), 0.0)
     da = safe[..., None] * (a - b_near)
     # b_j accumulates -sum_{i: idx_i = j} da_i (mask-matmul kernel; the
