@@ -239,6 +239,50 @@ def lgan_generator_step(
     return new_params, new_state, new_opt, {"g_loss": g_loss}
 
 
+@functools.partial(jax.jit, static_argnames=("d_opt", "g_opt", "lambda_gp",
+                                             "z_dim", "d_steps"))
+def lgan_combined_step(
+    lgan_params: dict,
+    lgan_state: dict,
+    d_opt_state,
+    g_opt_state,
+    real_gfvs: Array,
+    key,
+    *,
+    d_opt: optax.GradientTransformation,
+    g_opt: optax.GradientTransformation,
+    lambda_gp: float = 10.0,
+    z_dim: int = 1,
+    d_steps: int = 5,
+) -> Tuple[dict, dict, object, object, Dict[str, Array]]:
+    """d_steps discriminator updates + one generator update as ONE compiled
+    program (the per-update matmuls are tiny, so the unfused phase-3 loop is
+    host-dispatch bound; fusing removes 5 of 6 round trips per iteration).
+
+    ``real_gfvs``: (d_steps, B, latent) — one real batch per D update, like
+    the reference's fresh batch per D step.
+    """
+    k_scan, k_g = jax.random.split(key)
+
+    def d_body(carry, inp):
+        params, state, opt_state = carry
+        real, k = inp
+        params, state, opt_state, m = lgan_d_step.__wrapped__(
+            params, state, opt_state, real, k, d_opt=d_opt,
+            lambda_gp=lambda_gp, z_dim=z_dim)
+        return (params, state, opt_state), m["d_loss"]
+
+    d_keys = jax.random.split(k_scan, d_steps)
+    (lgan_params, lgan_state, d_opt_state), d_losses = jax.lax.scan(
+        d_body, (lgan_params, lgan_state, d_opt_state), (real_gfvs, d_keys))
+
+    lgan_params, lgan_state, g_opt_state, gm = lgan_generator_step.__wrapped__(
+        lgan_params, lgan_state, g_opt_state, k_g, g_opt=g_opt,
+        batch_size=real_gfvs.shape[1], z_dim=z_dim)
+    metrics = {"d_loss": jnp.mean(d_losses), "g_loss": gm["g_loss"]}
+    return lgan_params, lgan_state, d_opt_state, g_opt_state, metrics
+
+
 # ---------------------------------------------------------------------------
 # Phase 4: RL (vmapped env collect + TD3 update in one jitted step)
 # ---------------------------------------------------------------------------

@@ -237,26 +237,27 @@ class RLGANNetTrainer:
 
         n = len(gfvs)
         steps_per_epoch = max(n // bs, 1)
+        d_steps = max(cfg.d_steps, 1)
         for epoch in range(num_epochs):
             t0 = time.time()
-            order = rng.permutation(n)
             g_losses, d_losses = [], []
-            for si in range(steps_per_epoch):
-                for _ in range(cfg.d_steps):
-                    idx = rng.randint(0, n, size=bs) if cfg.d_steps > 1 else \
-                        order[si * bs:(si + 1) * bs]
-                    real = self._put(jnp.asarray(gfvs[idx]))
-                    lgan_params, lgan_state, d_opt_state, dm = steps.lgan_d_step(
-                        lgan_params, lgan_state, d_opt_state, real,
-                        self._next_key(), d_opt=d_opt,
-                        lambda_gp=cfg.lambda_gp, z_dim=z_dim)
-                    d_losses.append(dm["d_loss"])
-                lgan_params, lgan_state, g_opt_state, gm = \
-                    steps.lgan_generator_step(
-                        lgan_params, lgan_state, g_opt_state,
-                        self._next_key(), g_opt=g_opt, batch_size=bs,
-                        z_dim=z_dim)
-                g_losses.append(gm["g_loss"])
+            for _ in range(steps_per_epoch):
+                # one real batch per D update (reference draws fresh batches);
+                # all d_steps + the G update run as one compiled program.
+                # shard the batch axis (axis 1), not the d_steps axis
+                idx = rng.randint(0, n, size=(d_steps, bs))
+                real = jax.device_put(
+                    jnp.asarray(gfvs[idx]),
+                    jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec(
+                            None, mesh_lib.DATA_AXIS)))
+                (lgan_params, lgan_state, d_opt_state, g_opt_state,
+                 m) = steps.lgan_combined_step(
+                    lgan_params, lgan_state, d_opt_state, g_opt_state, real,
+                    self._next_key(), d_opt=d_opt, g_opt=g_opt,
+                    lambda_gp=cfg.lambda_gp, z_dim=z_dim, d_steps=d_steps)
+                d_losses.append(m["d_loss"])
+                g_losses.append(m["g_loss"])
             g_loss = float(jnp.mean(jnp.stack(g_losses)))
             d_loss = float(jnp.mean(jnp.stack(d_losses)))
             self.logger.log_scalar("GAN/Generator_Loss", g_loss, epoch)

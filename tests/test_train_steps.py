@@ -202,3 +202,44 @@ def test_ae_step_bf16_policy(config, model):
     w = params["encoder"]["point_mlp"][0]["dense"]["w"]
     assert w.dtype == jnp.float32
     assert state["encoder"]["point_mlp"][0]["bn"]["mean"].dtype == jnp.float32
+
+
+def test_lgan_combined_step_matches_sequential(config, model):
+    """The fused d_steps+g program must behave like the sequential calls
+    (same keys/batches -> same losses and params)."""
+    lcfg = config.training.lgan
+    g_opt = steps.make_gan_optimizer(lcfg.generator_lr, lcfg)
+    d_opt = steps.make_gan_optimizer(lcfg.discriminator_lr, lcfg)
+    key = jax.random.PRNGKey(21)
+    reals = jax.random.normal(key, (3, 16, 128))
+
+    # fused
+    lp, ls = model["lgan"]["params"], model["lgan"]["state"]
+    d_state, g_state = d_opt.init(lp["discriminator"]), g_opt.init(lp["generator"])
+    lp_f, ls_f, _, _, m = steps.lgan_combined_step(
+        lp, ls, d_state, g_state, reals, key, d_opt=d_opt, g_opt=g_opt,
+        d_steps=3)
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+
+    # sequential with the same key schedule
+    k_scan, k_g = jax.random.split(key)
+    d_keys = jax.random.split(k_scan, 3)
+    lp2, ls2 = lp, ls
+    d_state2 = d_opt.init(lp["discriminator"])
+    for i in range(3):
+        lp2, ls2, d_state2, _ = steps.lgan_d_step(
+            lp2, ls2, d_state2, reals[i], d_keys[i], d_opt=d_opt)
+    g_state2 = g_opt.init(lp["generator"])
+    lp2, ls2, g_state2, gm2 = steps.lgan_generator_step(
+        lp2, ls2, g_state2, k_g, g_opt=g_opt, batch_size=16)
+
+    np.testing.assert_allclose(float(m["g_loss"]), float(gm2["g_loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(lp_f["generator"]["mlp"][0]["dense"]["w"]),
+        np.asarray(lp2["generator"]["mlp"][0]["dense"]["w"]),
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(lp_f["discriminator"]["layers"][0]["dense"]["w"]),
+        np.asarray(lp2["discriminator"]["layers"][0]["dense"]["w"]),
+        rtol=1e-4, atol=1e-6)
