@@ -118,6 +118,40 @@ def ae_eval_step(params: dict, bn_state: dict, batch: Dict[str, Array],
     return {"loss": _masked_mean(per, batch["pad"])}
 
 
+@functools.partial(jax.jit, static_argnames=("optimizer", "augment",
+                                             "compute_dtype"))
+def ae_train_epoch(
+    params: dict,
+    bn_state: dict,
+    opt_state,
+    epoch_batches: Dict[str, Array],
+    key,
+    *,
+    optimizer: optax.GradientTransformation,
+    augment: bool = True,
+    compute_dtype=None,
+) -> Tuple[dict, dict, object, Dict[str, Array]]:
+    """A whole epoch of AE steps as one compiled program (lax.scan over the
+    step axis). Per-step host dispatch dominates epoch wall time at this
+    model's size; scanning removes it. ``epoch_batches`` fields carry a
+    leading step axis: complete_pc (S, B, N, 3), pad (S, B). Returns
+    per-step losses (S,) for batch-frequency logging."""
+
+    def body(carry, inp):
+        p, s, o = carry
+        batch, k = inp
+        p, s, o, m = ae_train_step.__wrapped__(
+            p, s, o, batch, k, optimizer=optimizer, augment=augment,
+            compute_dtype=compute_dtype)
+        return (p, s, o), m["loss"]
+
+    n_steps = epoch_batches["complete_pc"].shape[0]
+    keys = jax.random.split(key, n_steps)
+    (params, bn_state, opt_state), losses = jax.lax.scan(
+        body, (params, bn_state, opt_state), (epoch_batches, keys))
+    return params, bn_state, opt_state, {"losses": losses}
+
+
 # ---------------------------------------------------------------------------
 # Phase 2: GFV extraction
 # ---------------------------------------------------------------------------

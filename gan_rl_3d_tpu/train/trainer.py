@@ -37,6 +37,15 @@ from gan_rl_3d_tpu.utils import checkpoint as ckpt_lib
 from gan_rl_3d_tpu.utils.metrics_logging import MetricsLogger
 
 
+def _stack_batches(loader):
+    """Collect one epoch of batches into {key: [arrays]} items."""
+    acc: Dict[str, list] = {}
+    for batch in loader:
+        for k, v in batch.items():
+            acc.setdefault(k, []).append(v)
+    return acc.items()
+
+
 class RLGANNetTrainer:
     def __init__(self, config: "Config | str", *, use_orbax: bool = True):
         self.config = (load_config(config) if isinstance(config, str)
@@ -132,18 +141,35 @@ class RLGANNetTrainer:
         global_step = 0
         for epoch in range(num_epochs):
             t0 = time.time()
-            train_losses = []
-            for batch in self.train_loader:
-                params, bn_state, opt_state, m = steps.ae_train_step(
-                    params, bn_state, opt_state, self._put(batch),
-                    self._next_key(), optimizer=optimizer,
-                    compute_dtype=self.compute_dtype)
-                train_losses.append(m["loss"])
-                if global_step % log_freq == 0:
-                    self.logger.log_scalar("AE/Batch_Loss", float(m["loss"]),
-                                           global_step)
-                global_step += 1
-            train_loss = float(jnp.mean(jnp.stack(train_losses)))
+            # stack the epoch's batches (tiny at these sizes) and run the
+            # whole epoch as ONE compiled scan — per-step dispatch would
+            # otherwise dominate the wall time
+            stacked = {
+                k: np.stack(v) for k, v in _stack_batches(self.train_loader)
+            }
+            epoch_batches = {
+                "complete_pc": jax.device_put(
+                    stacked["complete_pc"],
+                    jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec(
+                            None, mesh_lib.DATA_AXIS))),
+                "pad": jax.device_put(
+                    stacked["pad"],
+                    jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec(
+                            None, mesh_lib.DATA_AXIS))),
+            }
+            params, bn_state, opt_state, m = steps.ae_train_epoch(
+                params, bn_state, opt_state, epoch_batches,
+                self._next_key(), optimizer=optimizer,
+                compute_dtype=self.compute_dtype)
+            losses = np.asarray(m["losses"])
+            for i, loss in enumerate(losses):
+                if (global_step + i) % log_freq == 0:
+                    self.logger.log_scalar("AE/Batch_Loss", float(loss),
+                                           global_step + i)
+            global_step += len(losses)
+            train_loss = float(losses.mean())
             self.logger.log_scalar("AE/Train_Loss", train_loss, epoch)
 
             # validate per evaluation.eval_frequency (always on the last

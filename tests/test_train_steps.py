@@ -243,3 +243,33 @@ def test_lgan_combined_step_matches_sequential(config, model):
         np.asarray(lp_f["discriminator"]["layers"][0]["dense"]["w"]),
         np.asarray(lp2["discriminator"]["layers"][0]["dense"]["w"]),
         rtol=1e-4, atol=1e-6)
+
+
+def test_ae_epoch_scan_matches_stepwise(config, model):
+    """One scanned epoch must equal the same sequence of individual steps."""
+    cfg = config.training.autoencoder
+    opt = steps.make_ae_optimizer(cfg, steps_per_epoch=4)
+    params = model["ae"]["params"]
+    state = model["ae"]["state"]
+    key = jax.random.PRNGKey(31)
+    batches = [_batch(jax.random.fold_in(key, i)) for i in range(4)]
+
+    # scanned
+    stacked = {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+    p1, s1, o1, m = steps.ae_train_epoch(
+        params, state, opt.init(params), stacked, key, optimizer=opt,
+        augment=False)
+    # stepwise with the identical key schedule
+    keys = jax.random.split(key, 4)
+    p2, s2, o2 = params, state, opt.init(params)
+    step_losses = []
+    for b, k in zip(batches, keys):
+        p2, s2, o2, sm = steps.ae_train_step(p2, s2, o2, b, k,
+                                             optimizer=opt, augment=False)
+        step_losses.append(float(sm["loss"]))
+    np.testing.assert_allclose(np.asarray(m["losses"]), step_losses,
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p1["encoder"]["point_mlp"][0]["dense"]["w"]),
+        np.asarray(p2["encoder"]["point_mlp"][0]["dense"]["w"]),
+        rtol=1e-5, atol=1e-7)
