@@ -64,8 +64,6 @@ def test_full_pipeline(tiny_config):
 
 
 def test_checkpoint_roundtrip(tiny_config):
-    import jax.numpy as jnp
-
     trainer = RLGANNetTrainer(tiny_config, use_orbax=False)
     # perturb a weight so the restore is distinguishable from fresh init
     # (both trainers share the config seed)

@@ -1,7 +1,6 @@
 """Optimizer parity: our optax chains reproduce the reference's torch
 optimizers step for step (Adam + weight decay + StepLR; GAN Adam betas)."""
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
