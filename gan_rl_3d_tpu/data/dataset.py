@@ -299,12 +299,16 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        data = self.dataset.as_array()
-        n = len(data)
+    def epoch_indices(self) -> Tuple[np.ndarray, np.ndarray]:
+        """One epoch's batch plan: (indices (S, B) int32, pad (S, B)).
+
+        The trainer ships these few KB to the device instead of the point
+        clouds themselves when the dataset is device-resident."""
+        n = len(self.dataset)
         order = self._rng.permutation(n) if self.shuffle else np.arange(n)
         bs = self.batch_size
         stop = (n // bs) * bs if self.drop_last else n
+        all_idx, all_pad = [], []
         for start in range(0, stop, bs):
             idx = order[start:start + bs]
             pad = np.zeros((len(idx),), np.float32)
@@ -314,6 +318,14 @@ class BatchLoader:
                 extra = np.resize(order, bs - len(idx))
                 idx = np.concatenate([idx, extra])
                 pad = np.concatenate([pad, np.ones((len(extra),), np.float32)])
+            all_idx.append(idx)
+            all_pad.append(pad)
+        return (np.stack(all_idx).astype(np.int32), np.stack(all_pad))
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        data = self.dataset.as_array()
+        indices, pads = self.epoch_indices()
+        for idx, pad in zip(indices, pads):
             yield {"complete_pc": data[idx], "pad": pad}
 
 

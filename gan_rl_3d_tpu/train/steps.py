@@ -152,6 +152,44 @@ def ae_train_epoch(
     return params, bn_state, opt_state, {"losses": losses}
 
 
+@functools.partial(jax.jit, static_argnames=("optimizer", "augment",
+                                             "compute_dtype"))
+def ae_train_epoch_resident(
+    params: dict,
+    bn_state: dict,
+    opt_state,
+    data: Array,
+    order: Array,
+    pads: Array,
+    key,
+    *,
+    optimizer: optax.GradientTransformation,
+    augment: bool = True,
+    compute_dtype=None,
+) -> Tuple[dict, dict, object, Dict[str, Array]]:
+    """AE epoch over a device-resident dataset: the host sends only the
+    shuffled index matrix per epoch (S, B) int32 — a few KB — instead of
+    re-shipping the point clouds (75 MB/epoch through the host link at the
+    default sizes). Batches are gathered on device inside the scan.
+
+    data: (D, N, 3) full train split; order: (S, B) indices; pads: (S, B).
+    """
+
+    def body(carry, inp):
+        p, s, o = carry
+        idx, pad, k = inp
+        batch = {"complete_pc": data[idx], "pad": pad}
+        p, s, o, m = ae_train_step.__wrapped__(
+            p, s, o, batch, k, optimizer=optimizer, augment=augment,
+            compute_dtype=compute_dtype)
+        return (p, s, o), m["loss"]
+
+    keys = jax.random.split(key, order.shape[0])
+    (params, bn_state, opt_state), losses = jax.lax.scan(
+        body, (params, bn_state, opt_state), (order, pads, keys))
+    return params, bn_state, opt_state, {"losses": losses}
+
+
 # ---------------------------------------------------------------------------
 # Phase 2: GFV extraction
 # ---------------------------------------------------------------------------

@@ -37,15 +37,6 @@ from gan_rl_3d_tpu.utils import checkpoint as ckpt_lib
 from gan_rl_3d_tpu.utils.metrics_logging import MetricsLogger
 
 
-def _stack_batches(loader):
-    """Collect one epoch of batches into {key: [arrays]} items."""
-    acc: Dict[str, list] = {}
-    for batch in loader:
-        for k, v in batch.items():
-            acc.setdefault(k, []).append(v)
-    return acc.items()
-
-
 class RLGANNetTrainer:
     def __init__(self, config: "Config | str", *, use_orbax: bool = True):
         self.config = (load_config(config) if isinstance(config, str)
@@ -139,28 +130,17 @@ class RLGANNetTrainer:
         eval_freq = max(self.config.evaluation.eval_frequency, 1)
         log_freq = max(self.config.logging.log_frequency, 1)
         global_step = 0
+        # the train split lives on device for the whole phase; per epoch
+        # only the shuffled batch-index plan (a few KB) crosses the host
+        # link, and the epoch runs as ONE compiled scan
+        data_dev = jax.device_put(self.train_loader.dataset.as_array(),
+                                  mesh_lib.replicated(self.mesh))
         for epoch in range(num_epochs):
             t0 = time.time()
-            # stack the epoch's batches (tiny at these sizes) and run the
-            # whole epoch as ONE compiled scan — per-step dispatch would
-            # otherwise dominate the wall time
-            stacked = {
-                k: np.stack(v) for k, v in _stack_batches(self.train_loader)
-            }
-            epoch_batches = {
-                "complete_pc": jax.device_put(
-                    stacked["complete_pc"],
-                    jax.sharding.NamedSharding(
-                        self.mesh, jax.sharding.PartitionSpec(
-                            None, mesh_lib.DATA_AXIS))),
-                "pad": jax.device_put(
-                    stacked["pad"],
-                    jax.sharding.NamedSharding(
-                        self.mesh, jax.sharding.PartitionSpec(
-                            None, mesh_lib.DATA_AXIS))),
-            }
-            params, bn_state, opt_state, m = steps.ae_train_epoch(
-                params, bn_state, opt_state, epoch_batches,
+            order, pads = self.train_loader.epoch_indices()
+            params, bn_state, opt_state, m = steps.ae_train_epoch_resident(
+                params, bn_state, opt_state, data_dev,
+                jnp.asarray(order), jnp.asarray(pads),
                 self._next_key(), optimizer=optimizer,
                 compute_dtype=self.compute_dtype)
             losses = np.asarray(m["losses"])
