@@ -538,6 +538,38 @@ def joint_train_step(
     return new_model, new_opt, {"loss": loss, "chamfer": ch, "gfv": gl}
 
 
+@functools.partial(jax.jit, static_argnames=("optimizer", "cfg",
+                                             "compute_dtype"))
+def joint_train_epoch_resident(
+    model: dict,
+    opt_state,
+    data: Array,
+    order: Array,
+    pads: Array,
+    key,
+    *,
+    optimizer: optax.GradientTransformation,
+    cfg: rl.TD3Config,
+    compute_dtype=None,
+) -> Tuple[dict, object, Dict[str, Array]]:
+    """A whole joint fine-tune epoch as one compiled scan over a
+    device-resident dataset (same pattern as ae_train_epoch_resident)."""
+
+    def body(carry, inp):
+        mdl, o = carry
+        idx, pad, k = inp
+        batch = {"complete_pc": data[idx], "pad": pad}
+        mdl, o, m = joint_train_step.__wrapped__(
+            mdl, o, batch, k, optimizer=optimizer, cfg=cfg,
+            compute_dtype=compute_dtype)
+        return (mdl, o), m["loss"]
+
+    keys = jax.random.split(key, order.shape[0])
+    (model, opt_state), losses = jax.lax.scan(
+        body, (model, opt_state), (order, pads, keys))
+    return model, opt_state, {"losses": losses}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def joint_eval_step(model: dict, batch: Dict[str, Array], key, *,
                     cfg: rl.TD3Config) -> Dict[str, Array]:

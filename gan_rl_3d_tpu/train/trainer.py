@@ -350,16 +350,18 @@ class RLGANNetTrainer:
              "gen": self.model["lgan"]["params"]["generator"]})
         best_val = float("inf")
 
+        # device-resident data + one scan per epoch (see train_autoencoder)
+        data_dev = jax.device_put(self.train_loader.dataset.as_array(),
+                                  mesh_lib.replicated(self.mesh))
         for epoch in range(num_epochs):
             t0 = time.time()
-            losses = []
-            for batch in self.train_loader:
-                self.model, opt_state, m = steps.joint_train_step(
-                    self.model, opt_state, self._put(batch),
-                    self._next_key(), optimizer=optimizer, cfg=self.td3,
-                    compute_dtype=self.compute_dtype)
-                losses.append(m["loss"])
-            train_loss = float(jnp.mean(jnp.stack(losses)))
+            order, pads = self.train_loader.epoch_indices()
+            self.model, opt_state, m = steps.joint_train_epoch_resident(
+                self.model, opt_state, data_dev,
+                jnp.asarray(order), jnp.asarray(pads),
+                self._next_key(), optimizer=optimizer, cfg=self.td3,
+                compute_dtype=self.compute_dtype)
+            train_loss = float(np.asarray(m["losses"]).mean())
 
             val_losses = []
             vkey = jax.random.PRNGKey(1)
