@@ -247,7 +247,12 @@ class ShapeNetDataset:
                     pass
             arr = np.empty((len(self.files), self.num_points, 3), np.float32)
             for i, entry in enumerate(self.files):
-                arr[i] = self._resample(load_point_cloud(entry["path"]))
+                try:
+                    arr[i] = self._resample(load_point_cloud(entry["path"]))
+                except (ValueError, IOError) as e:
+                    raise IOError(
+                        f"failed to load {entry['path']!r} "
+                        f"({self.split} split): {e}") from e
             self._cache = arr
 
     def __len__(self) -> int:
@@ -309,6 +314,8 @@ class BatchLoader:
         bs = self.batch_size
         stop = (n // bs) * bs if self.drop_last else n
         all_idx, all_pad = [], []
+        if stop <= 0:  # empty epoch (tiny dataset with drop_last)
+            return (np.zeros((0, bs), np.int32), np.zeros((0, bs), np.float32))
         for start in range(0, stop, bs):
             idx = order[start:start + bs]
             pad = np.zeros((len(idx),), np.float32)

@@ -158,6 +158,11 @@ def cut_holes(
     flags the genuinely observed points.
     """
     n = pc.shape[0]
+    if not 0.0 <= min_ratio <= max_ratio <= 0.5:
+        # the roll-based tail fill in _keep_reorder requires keep >= 1/2
+        raise ValueError(
+            f"hole ratios must satisfy 0 <= min <= max <= 0.5, got "
+            f"({min_ratio}, {max_ratio})")
     k_ratio, k_method, k_rand, k_center, k_normal = jax.random.split(key, 5)
     ratio = jax.random.uniform(k_ratio, (), jnp.float32, min_ratio, max_ratio)
     n_keep = jnp.floor(n * (1.0 - ratio)).astype(jnp.int32)

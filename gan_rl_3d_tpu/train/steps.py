@@ -152,8 +152,27 @@ def ae_train_epoch(
     return params, bn_state, opt_state, {"losses": losses}
 
 
+def _shard_gathered_batch(batch, batch_sharding):
+    """Constrain a batch gathered from replicated resident data back onto
+    the mesh's data axis — without this, GSPMD propagates 'replicated' and
+    every device would redundantly compute the full batch."""
+    if batch_sharding is None:
+        return batch
+    mesh = batch_sharding.mesh
+    spec0 = batch_sharding.spec[0]
+    return {
+        "complete_pc": jax.lax.with_sharding_constraint(
+            batch["complete_pc"], batch_sharding),
+        "pad": jax.lax.with_sharding_constraint(
+            batch["pad"],
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec(spec0))),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("optimizer", "augment",
-                                             "compute_dtype"))
+                                             "compute_dtype",
+                                             "batch_sharding"))
 def ae_train_epoch_resident(
     params: dict,
     bn_state: dict,
@@ -166,11 +185,15 @@ def ae_train_epoch_resident(
     optimizer: optax.GradientTransformation,
     augment: bool = True,
     compute_dtype=None,
+    batch_sharding=None,
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """AE epoch over a device-resident dataset: the host sends only the
     shuffled index matrix per epoch (S, B) int32 — a few KB — instead of
     re-shipping the point clouds (75 MB/epoch through the host link at the
-    default sizes). Batches are gathered on device inside the scan.
+    default sizes). Batches are gathered on device inside the scan and
+    constrained onto the mesh's data axis via ``batch_sharding`` (a
+    NamedSharding for a (B, N, 3) batch) so multi-device data parallelism
+    is preserved.
 
     data: (D, N, 3) full train split; order: (S, B) indices; pads: (S, B).
     """
@@ -178,7 +201,8 @@ def ae_train_epoch_resident(
     def body(carry, inp):
         p, s, o = carry
         idx, pad, k = inp
-        batch = {"complete_pc": data[idx], "pad": pad}
+        batch = _shard_gathered_batch({"complete_pc": data[idx], "pad": pad},
+                                      batch_sharding)
         p, s, o, m = ae_train_step.__wrapped__(
             p, s, o, batch, k, optimizer=optimizer, augment=augment,
             compute_dtype=compute_dtype)
@@ -539,7 +563,8 @@ def joint_train_step(
 
 
 @functools.partial(jax.jit, static_argnames=("optimizer", "cfg",
-                                             "compute_dtype"))
+                                             "compute_dtype",
+                                             "batch_sharding"))
 def joint_train_epoch_resident(
     model: dict,
     opt_state,
@@ -551,6 +576,7 @@ def joint_train_epoch_resident(
     optimizer: optax.GradientTransformation,
     cfg: rl.TD3Config,
     compute_dtype=None,
+    batch_sharding=None,
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """A whole joint fine-tune epoch as one compiled scan over a
     device-resident dataset (same pattern as ae_train_epoch_resident)."""
@@ -558,7 +584,8 @@ def joint_train_epoch_resident(
     def body(carry, inp):
         mdl, o = carry
         idx, pad, k = inp
-        batch = {"complete_pc": data[idx], "pad": pad}
+        batch = _shard_gathered_batch({"complete_pc": data[idx], "pad": pad},
+                                      batch_sharding)
         mdl, o, m = joint_train_step.__wrapped__(
             mdl, o, batch, k, optimizer=optimizer, cfg=cfg,
             compute_dtype=compute_dtype)

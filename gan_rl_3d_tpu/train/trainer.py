@@ -142,7 +142,8 @@ class RLGANNetTrainer:
                 params, bn_state, opt_state, data_dev,
                 jnp.asarray(order), jnp.asarray(pads),
                 self._next_key(), optimizer=optimizer,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype,
+                batch_sharding=mesh_lib.batch_sharding(self.mesh))
             losses = np.asarray(m["losses"])
             for i, loss in enumerate(losses):
                 if (global_step + i) % log_freq == 0:
@@ -246,12 +247,17 @@ class RLGANNetTrainer:
         d_steps = max(cfg.d_steps, 1)
         for epoch in range(num_epochs):
             t0 = time.time()
+            order = rng.permutation(n)
             g_losses, d_losses = [], []
-            for _ in range(steps_per_epoch):
-                # one real batch per D update (reference draws fresh batches);
-                # all d_steps + the G update run as one compiled program.
-                # shard the batch axis (axis 1), not the d_steps axis
-                idx = rng.randint(0, n, size=(d_steps, bs))
+            for si in range(steps_per_epoch):
+                # one real batch per D update (reference draws fresh batches
+                # when d_steps > 1); at d_steps == 1 an epoch stays one full
+                # pass over the permuted GFVs. All d_steps + the G update
+                # run as one compiled program; shard the batch axis (axis 1)
+                if d_steps == 1:
+                    idx = order[si * bs:(si + 1) * bs][None, :]
+                else:
+                    idx = rng.randint(0, n, size=(d_steps, bs))
                 real = jax.device_put(
                     jnp.asarray(gfvs[idx]),
                     jax.sharding.NamedSharding(
@@ -360,7 +366,8 @@ class RLGANNetTrainer:
                 self.model, opt_state, data_dev,
                 jnp.asarray(order), jnp.asarray(pads),
                 self._next_key(), optimizer=optimizer, cfg=self.td3,
-                compute_dtype=self.compute_dtype)
+                compute_dtype=self.compute_dtype,
+                batch_sharding=mesh_lib.batch_sharding(self.mesh))
             train_loss = float(np.asarray(m["losses"]).mean())
 
             val_losses = []

@@ -93,3 +93,34 @@ def test_complete_runs_sharded():
         model, pc)
     assert out["hybrid_output"].shape == (16, N_POINTS, 3)
     assert np.all(np.isfinite(np.asarray(out["hybrid_output"])))
+
+
+def test_resident_epoch_preserves_data_parallelism():
+    """The resident-data epoch scan must shard gathered batches along the
+    data axis (not silently replicate the work) and match the unsharded
+    result numerically."""
+    config = load_config(None, overrides=OVERRIDES)
+    model = net.init_model(jax.random.PRNGKey(0), config)
+    opt = steps.make_ae_optimizer(config.training.autoencoder, 4)
+    params, state = model["ae"]["params"], model["ae"]["state"]
+    key = jax.random.PRNGKey(9)
+    data = jax.random.normal(key, (64, N_POINTS, 3))
+    order = jnp.arange(32).reshape(2, 16)
+    pads = jnp.zeros((2, 16))
+
+    p1, s1, o1, m1 = steps.ae_train_epoch_resident(
+        params, state, opt.init(params), data, order, pads, key,
+        optimizer=opt, augment=False)
+
+    mesh = mesh_lib.make_mesh()
+    data_dev = jax.device_put(data, mesh_lib.replicated(mesh))
+    p8, s8, o8, m8 = steps.ae_train_epoch_resident(
+        jax.device_put(params, mesh_lib.replicated(mesh)),
+        jax.device_put(state, mesh_lib.replicated(mesh)),
+        jax.device_put(opt.init(params), mesh_lib.replicated(mesh)),
+        data_dev, order, pads, key, optimizer=opt, augment=False,
+        batch_sharding=mesh_lib.batch_sharding(mesh))
+    np.testing.assert_allclose(np.asarray(m8["losses"]),
+                               np.asarray(m1["losses"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
