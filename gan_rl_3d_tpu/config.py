@@ -131,8 +131,29 @@ class LossConfig:
     w_chamfer: float = 100.0
     w_gfv: float = 10.0
     w_discriminator: float = 0.01
+    # "bidirectional" | "forward": reference config.yaml:87 parses this and
+    # ChamferLoss ignores it (always bidirectional); here it is wired
     chamfer_loss: str = "bidirectional"
+    # "chamfer" | "mse": reference config.yaml:88 says "mse" while
+    # train_autoencoder_epoch uses Chamfer unconditionally
+    # (train_rl_gan_net.py:236); here it is wired, defaulting to the
+    # reference's *actual* behaviour
     reconstruction_loss: str = "chamfer"
+
+    def __post_init__(self):
+        if self.chamfer_loss not in ("bidirectional", "forward",
+                                     "unidirectional"):
+            raise ValueError(
+                f"loss.chamfer_loss must be 'bidirectional' or 'forward', "
+                f"got {self.chamfer_loss!r}")
+        if self.reconstruction_loss not in ("chamfer", "mse"):
+            raise ValueError(
+                f"loss.reconstruction_loss must be 'chamfer' or 'mse', "
+                f"got {self.reconstruction_loss!r}")
+
+    @property
+    def bidirectional(self) -> bool:
+        return self.chamfer_loss == "bidirectional"
 
 
 @dataclass(frozen=True)
@@ -152,6 +173,10 @@ class DataConfig:
     normalize: bool = True
     center: bool = True
     unit_sphere: bool = True
+    # removed-fraction bounds for on-device hole cutting (the reference
+    # hardcodes 0.2-0.5, utils/dataset.py:252-258; exposed here)
+    hole_min_ratio: float = 0.2
+    hole_max_ratio: float = 0.5
 
 
 @dataclass(frozen=True)
@@ -212,6 +237,23 @@ class Config:
             policy_noise=t.policy_noise,
             noise_clip=t.noise_clip,
             policy_delay=t.policy_delay,
+        )
+
+    def preproc_spec(self):
+        """Wire data.{augmentation.*,normalize,center,unit_sphere,
+        hole_*_ratio} into one static PreprocSpec for the jitted steps."""
+        from gan_rl_3d_tpu.ops.pointcloud import PreprocSpec
+
+        d = self.data
+        return PreprocSpec(
+            rotation=d.augmentation.rotation,
+            jitter=d.augmentation.jitter,
+            scale=d.augmentation.scale,
+            normalize=d.normalize,
+            center=d.center,
+            unit_sphere=d.unit_sphere,
+            hole_min=d.hole_min_ratio,
+            hole_max=d.hole_max_ratio,
         )
 
 

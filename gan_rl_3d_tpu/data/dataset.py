@@ -136,16 +136,20 @@ class ShapeNetDataset:
         cache_in_memory: bool = True,
         seed: int = 0,
         split_fractions: Optional[Tuple[float, float, float]] = None,
+        workers: int = 8,
     ):
         """``split_fractions`` (train, val, test) activates hash-based
         splitting for flat directory trees with no per-split directories
         (the reference parses these config knobs but never uses them,
-        data.train_split/val_split in config.yaml:96-98)."""
+        data.train_split/val_split in config.yaml:96-98). ``workers`` is the
+        parallel-parse thread count, the analog of the reference's
+        DataLoader num_workers (train_rl_gan_net.py:142)."""
         self.data_dir = Path(data_dir)
         self.split = split
         self.num_points = num_points
         self.categories = list(categories) if categories else None
         self.split_fractions = split_fractions
+        self.workers = max(int(workers), 1)
         self._rng = np.random.RandomState(seed)
         self.files = self._load_index()
         self._cache: Optional[np.ndarray] = None
@@ -241,7 +245,8 @@ class ShapeNetDataset:
                     from gan_rl_3d_tpu.runtime import load_files_parallel
                     self._cache = load_files_parallel(
                         paths, self.num_points,
-                        seed=int(self._rng.randint(1, 1 << 30)))
+                        seed=int(self._rng.randint(1, 1 << 30)),
+                        workers=self.workers)
                     return
                 except (ImportError, OSError):
                     pass

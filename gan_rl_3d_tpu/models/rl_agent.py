@@ -84,20 +84,36 @@ def actor_apply(params, state, s, *, cfg: TD3Config,
 # ---------------------------------------------------------------------------
 
 
+def _critic_widths(hidden: Tuple[int, ...]) -> Tuple[int, int, int]:
+    """Layer widths (state, combined1, combined2) from critic_hidden.
+
+    The reference's 4-element critic_hidden_dims has a vestigial slot:
+    hidden_dims[1] = 432 merely *documents* the derived 400 + 32
+    state+action concat width and is never read as a layer size
+    (reference models/rl_agent.py:78-98, see its ':89' comment). A
+    4-element tuple keeps those semantics (slot 1 ignored) for checkpoint
+    parity; a 3-element tuple names only the real widths."""
+    if len(hidden) == 4:
+        return hidden[0], hidden[2], hidden[3]
+    if len(hidden) == 3:
+        return hidden[0], hidden[1], hidden[2]
+    raise ValueError(f"critic_hidden must have 3 or 4 entries, got {hidden}")
+
+
 def critic_init(key, cfg: TD3Config) -> Tuple[dict, dict]:
-    h = cfg.critic_hidden
+    h_state, h_comb1, h_comb2 = _critic_widths(cfg.critic_hidden)
     ks = jax.random.split(key, 5)
     init = dict(w_init=nn.xavier_uniform, bias_const=0.01)
     params = {
-        "state_fc": nn.dense_init(ks[0], cfg.state_dim, h[0], **init),
+        "state_fc": nn.dense_init(ks[0], cfg.state_dim, h_state, **init),
         "action_fc": nn.dense_init(ks[1], cfg.action_dim, 32, **init),
-        "comb_fc1": nn.dense_init(ks[2], h[0] + 32, h[2], **init),
-        "comb_fc2": nn.dense_init(ks[3], h[2], h[3], **init),
-        "out_fc": nn.dense_init(ks[4], h[3], 1, **init),
+        "comb_fc1": nn.dense_init(ks[2], h_state + 32, h_comb1, **init),
+        "comb_fc2": nn.dense_init(ks[3], h_comb1, h_comb2, **init),
+        "out_fc": nn.dense_init(ks[4], h_comb2, 1, **init),
     }
-    bn1_p, bn1_s = nn.batchnorm_init(h[0])
-    bn2_p, bn2_s = nn.batchnorm_init(h[2])
-    bn3_p, bn3_s = nn.batchnorm_init(h[3])
+    bn1_p, bn1_s = nn.batchnorm_init(h_state)
+    bn2_p, bn2_s = nn.batchnorm_init(h_comb1)
+    bn3_p, bn3_s = nn.batchnorm_init(h_comb2)
     params.update({"bn1": bn1_p, "bn2": bn2_p, "bn3": bn3_p})
     state = {"bn1": bn1_s, "bn2": bn2_s, "bn3": bn3_s}
     return params, state

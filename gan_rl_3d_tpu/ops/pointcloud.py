@@ -14,6 +14,7 @@ utils/dataset.py:399-421), and a validity mask marks the real points.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional, Tuple
 
 import jax
@@ -23,9 +24,60 @@ Array = jax.Array
 PRNGKey = jax.Array
 
 
+@dataclasses.dataclass(frozen=True)
+class PreprocSpec:
+    """Static preprocessing knobs, one hashable object so jitted steps can
+    take it as a static argument.
+
+    Mirrors the reference's data config block (configs/config.yaml:100-109),
+    where every one of these is parsed and then ignored (utils/dataset.py
+    always augments with fixed probabilities and always unit-sphere
+    normalises). Here each flag gates the corresponding transform:
+
+    * ``rotation`` / ``jitter`` / ``scale`` gate the three augmentations
+      (fired with the reference's probabilities 0.5 / 0.5 / 0.3,
+      utils/dataset.py:278-297, when enabled);
+    * ``normalize`` is the master normalisation switch; ``center`` subtracts
+      the (valid-point) centroid and ``unit_sphere`` scales the max radius
+      to 1 (reference utils/data_utils.py:15-53 semantics, decomposed);
+    * ``hole_min`` / ``hole_max`` bound the removed fraction
+      (reference hardcodes 0.2-0.5, utils/dataset.py:252-258).
+    """
+
+    rotation: bool = True
+    jitter: bool = True
+    scale: bool = True
+    normalize: bool = True
+    center: bool = True
+    unit_sphere: bool = True
+    hole_min: float = 0.2
+    hole_max: float = 0.5
+
+
+DEFAULT_PREPROC = PreprocSpec()
+
+
 # ---------------------------------------------------------------------------
 # Normalisation (reference utils/data_utils.py:15-71)
 # ---------------------------------------------------------------------------
+
+
+def _masked_centroid(pc: Array, mask: Optional[Array]) -> Array:
+    if mask is None:
+        return jnp.mean(pc, axis=-2, keepdims=True)
+    w = mask[..., None]
+    return jnp.sum(pc * w, axis=-2, keepdims=True) / jnp.maximum(
+        jnp.sum(w, axis=-2, keepdims=True), 1.0
+    )
+
+
+def _unit_scale(pc: Array, mask: Optional[Array]) -> Array:
+    """Scale so the max (valid-point) radius about the origin is 1."""
+    norms = jnp.linalg.norm(pc, axis=-1)
+    if mask is not None:
+        norms = norms * mask
+    scale = jnp.max(norms, axis=-1, keepdims=True)[..., None]
+    return jnp.where(scale > 0, pc / jnp.where(scale > 0, scale, 1.0), pc)
 
 
 def normalize_unit_sphere(pc: Array, mask: Optional[Array] = None) -> Array:
@@ -33,19 +85,21 @@ def normalize_unit_sphere(pc: Array, mask: Optional[Array] = None) -> Array:
 
     pc: (..., N, 3); mask: optional (..., N) validity weights.
     """
-    if mask is None:
-        centroid = jnp.mean(pc, axis=-2, keepdims=True)
-    else:
-        w = mask[..., None]
-        centroid = jnp.sum(pc * w, axis=-2, keepdims=True) / jnp.maximum(
-            jnp.sum(w, axis=-2, keepdims=True), 1.0
-        )
-    centered = pc - centroid
-    norms = jnp.linalg.norm(centered, axis=-1)
-    if mask is not None:
-        norms = norms * mask
-    scale = jnp.max(norms, axis=-1, keepdims=True)[..., None]
-    return jnp.where(scale > 0, centered / jnp.where(scale > 0, scale, 1.0), centered)
+    return _unit_scale(pc - _masked_centroid(pc, mask), mask)
+
+
+def apply_normalization(pc: Array, mask: Optional[Array] = None, *,
+                        spec: PreprocSpec = DEFAULT_PREPROC) -> Array:
+    """Normalisation per the data.{normalize,center,unit_sphere} config
+    flags (reference configs/config.yaml:107-109, parsed-but-dead there —
+    utils/dataset.py:169 always runs the full normalize_point_cloud)."""
+    if not spec.normalize:
+        return pc
+    if spec.center:
+        pc = pc - _masked_centroid(pc, mask)
+    if spec.unit_sphere:
+        pc = _unit_scale(pc, mask)
+    return pc
 
 
 def center(pc: Array) -> Array:
@@ -193,29 +247,32 @@ def make_training_pair(
     key: PRNGKey,
     complete: Array,
     *,
-    augment_prob: Tuple[float, float, float] = (0.5, 0.5, 0.3),
+    spec: PreprocSpec = DEFAULT_PREPROC,
     do_augment: bool = True,
-    hole_ratio: Tuple[float, float] = (0.2, 0.5),
 ) -> Tuple[Array, Array, Array]:
     """Full on-device preprocessing for one (N, 3) complete cloud: cut holes,
-    augment (shared transform across the pair), unit-sphere normalise.
+    augment (shared transform across the pair), normalise per ``spec``.
 
     Returns (complete, incomplete, incomplete_mask). vmap over the batch and
     fold into the jitted train step.
     """
     k_hole, k_aug, k_rot = jax.random.split(key, 3)
     incomplete, mask = cut_holes(
-        k_hole, complete, min_ratio=hole_ratio[0], max_ratio=hole_ratio[1]
+        k_hole, complete, min_ratio=spec.hole_min, max_ratio=spec.hole_max
     )
     if do_augment:
-        p_rot, p_jit, p_scale = augment_prob
+        # reference trigger probabilities (utils/dataset.py:278-297), gated
+        # by the data.augmentation.* config flags
+        p_rot = 0.5 if spec.rotation else 0.0
+        p_jit = 0.5 if spec.jitter else 0.0
+        p_scale = 0.3 if spec.scale else 0.0
         rot = random_rotation_matrix(k_rot, complete.dtype)
         complete = augment(k_aug, complete, p_rotate=p_rot, p_jitter=p_jit,
                            p_scale=p_scale, rotation=rot)
         incomplete = augment(k_aug, incomplete, p_rotate=p_rot, p_jitter=p_jit,
                              p_scale=p_scale, rotation=rot)
-    complete = normalize_unit_sphere(complete)
-    incomplete = normalize_unit_sphere(incomplete, mask)
+    complete = apply_normalization(complete, spec=spec)
+    incomplete = apply_normalization(incomplete, mask, spec=spec)
     return complete, incomplete, mask
 
 

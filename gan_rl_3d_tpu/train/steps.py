@@ -38,6 +38,18 @@ def _masked_mean(per_sample: Array, pad: Array) -> Array:
     return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _recon_loss(recon: Array, complete: Array, *, recon_loss: str,
+                bidirectional: bool) -> Array:
+    """Per-sample reconstruction loss per the loss.{reconstruction_loss,
+    chamfer_loss} config knobs (reference configs/config.yaml:87-88 —
+    parsed there, always-bidirectional-Chamfer in practice,
+    train_rl_gan_net.py:161,236)."""
+    if recon_loss == "mse":
+        return jnp.mean((recon - complete) ** 2, axis=(-2, -1))
+    return chamfer_ops.chamfer_distance(recon, complete,
+                                        bidirectional=bidirectional)
+
+
 # ---------------------------------------------------------------------------
 # Phase 1: autoencoder
 # ---------------------------------------------------------------------------
@@ -67,7 +79,8 @@ def _policy_cast(tree, dtype):
 
 
 @functools.partial(jax.jit, static_argnames=("optimizer", "augment",
-                                             "compute_dtype"))
+                                             "compute_dtype", "spec",
+                                             "recon_loss", "bidirectional"))
 def ae_train_step(
     params: dict,
     bn_state: dict,
@@ -78,6 +91,9 @@ def ae_train_step(
     optimizer: optax.GradientTransformation,
     augment: bool = True,
     compute_dtype=None,
+    spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
+    recon_loss: str = "chamfer",
+    bidirectional: bool = True,
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """One AE step: on-device hole-cutting/augment -> forward -> Chamfer
     (incomplete -> complete, SURVEY §3.2) -> Adam.
@@ -87,7 +103,7 @@ def ae_train_step(
     an f32 Chamfer loss (training.precision config knob)."""
     k_data, _ = jax.random.split(key)
     complete, incomplete, mask = pc_ops.make_training_batch(
-        k_data, batch["complete_pc"], do_augment=augment)
+        k_data, batch["complete_pc"], do_augment=augment, spec=spec)
 
     def loss_fn(p):
         x_in = incomplete
@@ -96,7 +112,8 @@ def ae_train_step(
             x_in = incomplete.astype(compute_dtype)
         (recon, _gfv), new_state = ae.autoencoder_apply(
             p, bn_state, x_in, mask, training=True)
-        per = chamfer_ops.chamfer_distance(recon, complete)
+        per = _recon_loss(recon, complete, recon_loss=recon_loss,
+                          bidirectional=bidirectional)
         return _masked_mean(per, batch["pad"]), new_state
 
     (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -105,21 +122,27 @@ def ae_train_step(
     return new_params, new_state, new_opt_state, {"loss": loss}
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("spec", "recon_loss",
+                                             "bidirectional"))
 def ae_eval_step(params: dict, bn_state: dict, batch: Dict[str, Array],
-                 key) -> Dict[str, Array]:
+                 key, *,
+                 spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
+                 recon_loss: str = "chamfer",
+                 bidirectional: bool = True) -> Dict[str, Array]:
     """Validation: deterministic hole-cutting (keyed), no augmentation,
     eval-mode BN."""
     complete, incomplete, mask = pc_ops.make_training_batch(
-        key, batch["complete_pc"], do_augment=False)
+        key, batch["complete_pc"], do_augment=False, spec=spec)
     (recon, _), _ = ae.autoencoder_apply(params, bn_state, incomplete, mask,
                                          training=False)
-    per = chamfer_ops.chamfer_distance(recon, complete)
+    per = _recon_loss(recon, complete, recon_loss=recon_loss,
+                      bidirectional=bidirectional)
     return {"loss": _masked_mean(per, batch["pad"])}
 
 
 @functools.partial(jax.jit, static_argnames=("optimizer", "augment",
-                                             "compute_dtype"))
+                                             "compute_dtype", "spec",
+                                             "recon_loss", "bidirectional"))
 def ae_train_epoch(
     params: dict,
     bn_state: dict,
@@ -130,6 +153,9 @@ def ae_train_epoch(
     optimizer: optax.GradientTransformation,
     augment: bool = True,
     compute_dtype=None,
+    spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
+    recon_loss: str = "chamfer",
+    bidirectional: bool = True,
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """A whole epoch of AE steps as one compiled program (lax.scan over the
     step axis). Per-step host dispatch dominates epoch wall time at this
@@ -142,7 +168,8 @@ def ae_train_epoch(
         batch, k = inp
         p, s, o, m = ae_train_step.__wrapped__(
             p, s, o, batch, k, optimizer=optimizer, augment=augment,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, spec=spec, recon_loss=recon_loss,
+            bidirectional=bidirectional)
         return (p, s, o), m["loss"]
 
     n_steps = epoch_batches["complete_pc"].shape[0]
@@ -172,7 +199,8 @@ def _shard_gathered_batch(batch, batch_sharding):
 
 @functools.partial(jax.jit, static_argnames=("optimizer", "augment",
                                              "compute_dtype",
-                                             "batch_sharding"))
+                                             "batch_sharding", "spec",
+                                             "recon_loss", "bidirectional"))
 def ae_train_epoch_resident(
     params: dict,
     bn_state: dict,
@@ -186,6 +214,9 @@ def ae_train_epoch_resident(
     augment: bool = True,
     compute_dtype=None,
     batch_sharding=None,
+    spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
+    recon_loss: str = "chamfer",
+    bidirectional: bool = True,
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """AE epoch over a device-resident dataset: the host sends only the
     shuffled index matrix per epoch (S, B) int32 — a few KB — instead of
@@ -205,7 +236,8 @@ def ae_train_epoch_resident(
                                       batch_sharding)
         p, s, o, m = ae_train_step.__wrapped__(
             p, s, o, batch, k, optimizer=optimizer, augment=augment,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, spec=spec, recon_loss=recon_loss,
+            bidirectional=bidirectional)
         return (p, s, o), m["loss"]
 
     keys = jax.random.split(key, order.shape[0])
@@ -219,13 +251,15 @@ def ae_train_epoch_resident(
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("spec",))
 def gfv_extract_step(params: dict, bn_state: dict, batch: Dict[str, Array],
-                     key) -> Tuple[Array, Array]:
+                     key, *,
+                     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
+                     ) -> Tuple[Array, Array]:
     """Encode (clean_gfv, noisy_gfv) for one batch with the frozen encoder
     (reference generate_gfvs, train_rl_gan_net.py:269-305)."""
     complete, incomplete, mask = pc_ops.make_training_batch(
-        key, batch["complete_pc"], do_augment=False)
+        key, batch["complete_pc"], do_augment=False, spec=spec)
     clean, _ = ae.any_encoder_apply(params["encoder"], bn_state["encoder"],
                                     complete, training=False)
     noisy, _ = ae.any_encoder_apply(params["encoder"], bn_state["encoder"],
@@ -388,7 +422,7 @@ def lgan_combined_step(
                                              "w_discriminator",
                                              "start_training_size",
                                              "steps_per_episode",
-                                             "updates_per_step"))
+                                             "updates_per_step", "spec"))
 def rl_step(
     model: dict,
     buffer: rb.ReplayBuffer,
@@ -403,6 +437,7 @@ def rl_step(
     start_training_size: int = 64,
     steps_per_episode: int = 1,
     updates_per_step: int = 1,
+    spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
 ) -> Tuple[dict, rb.ReplayBuffer, Array, Dict[str, Array]]:
     """One RL iteration over B parallel episodes of ``steps_per_episode``
     environment steps each:
@@ -422,7 +457,7 @@ def rl_step(
     """
     k_data, k_scan, k_upd = jax.random.split(key, 3)
     complete, incomplete, mask = pc_ops.make_training_batch(
-        k_data, batch["complete_pc"], do_augment=False)
+        k_data, batch["complete_pc"], do_augment=False, spec=spec)
 
     env0 = net.env_reset(model, incomplete, complete, mask)
 
@@ -497,7 +532,8 @@ def make_joint_optimizer(cfg: JointTrainConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("optimizer", "cfg",
-                                             "compute_dtype"))
+                                             "compute_dtype", "spec",
+                                             "bidirectional"))
 def joint_train_step(
     model: dict,
     opt_state,
@@ -507,6 +543,8 @@ def joint_train_step(
     optimizer: optax.GradientTransformation,
     cfg: rl.TD3Config,
     compute_dtype=None,
+    spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
+    bidirectional: bool = True,
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """Joint fine-tune (reference train_joint_epoch,
     train_rl_gan_net.py:493-522): loss = Chamfer(decode(G(z)), complete) +
@@ -515,7 +553,7 @@ def joint_train_step(
     agent there either). Trains encoder, decoder and generator."""
     k_data, _ = jax.random.split(key)
     complete, incomplete, mask = pc_ops.make_training_batch(
-        k_data, batch["complete_pc"], do_augment=True)
+        k_data, batch["complete_pc"], do_augment=True, spec=spec)
 
     trainable = {"ae": model["ae"]["params"],
                  "gen": model["lgan"]["params"]["generator"]}
@@ -537,7 +575,8 @@ def joint_train_step(
         completed, dec_state = ae.any_decoder_apply(
             tp["ae"]["decoder"], model["ae"]["state"]["decoder"], clean_gfv,
             training=True)
-        per = chamfer_ops.chamfer_distance(completed, complete)
+        per = chamfer_ops.chamfer_distance(completed, complete,
+                                           bidirectional=bidirectional)
         ch = _masked_mean(per, batch["pad"])
         gl = losses_ops.gfv_loss(clean_gfv, noisy_gfv)
         loss = ch + 0.1 * gl
@@ -564,7 +603,8 @@ def joint_train_step(
 
 @functools.partial(jax.jit, static_argnames=("optimizer", "cfg",
                                              "compute_dtype",
-                                             "batch_sharding"))
+                                             "batch_sharding", "spec",
+                                             "bidirectional"))
 def joint_train_epoch_resident(
     model: dict,
     opt_state,
@@ -577,6 +617,8 @@ def joint_train_epoch_resident(
     cfg: rl.TD3Config,
     compute_dtype=None,
     batch_sharding=None,
+    spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
+    bidirectional: bool = True,
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """A whole joint fine-tune epoch as one compiled scan over a
     device-resident dataset (same pattern as ae_train_epoch_resident)."""
@@ -588,7 +630,8 @@ def joint_train_epoch_resident(
                                       batch_sharding)
         mdl, o, m = joint_train_step.__wrapped__(
             mdl, o, batch, k, optimizer=optimizer, cfg=cfg,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, spec=spec,
+            bidirectional=bidirectional)
         return (mdl, o), m["loss"]
 
     keys = jax.random.split(key, order.shape[0])
@@ -597,13 +640,16 @@ def joint_train_epoch_resident(
     return model, opt_state, {"losses": losses}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "spec", "bidirectional"))
 def joint_eval_step(model: dict, batch: Dict[str, Array], key, *,
-                    cfg: rl.TD3Config) -> Dict[str, Array]:
+                    cfg: rl.TD3Config,
+                    spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
+                    bidirectional: bool = True) -> Dict[str, Array]:
     """Validation through the full inference path with the hybrid gate
     (reference validate_joint, train_rl_gan_net.py:524-544)."""
     complete, incomplete, mask = pc_ops.make_training_batch(
-        key, batch["complete_pc"], do_augment=False)
+        key, batch["complete_pc"], do_augment=False, spec=spec)
     out = net.complete(model, incomplete, mask, cfg=cfg)
-    per = chamfer_ops.chamfer_distance(out["hybrid_output"], complete)
+    per = chamfer_ops.chamfer_distance(out["hybrid_output"], complete,
+                                       bidirectional=bidirectional)
     return {"loss": _masked_mean(per, batch["pad"])}

@@ -51,7 +51,13 @@ class RLGANNetTrainer:
         self.results_dir.mkdir(parents=True, exist_ok=True)
         self.logger = MetricsLogger(
             cfg.training.log_dir,
-            use_tensorboard=cfg.logging.use_tensorboard)
+            use_tensorboard=cfg.logging.use_tensorboard,
+            use_wandb=cfg.logging.use_wandb,
+            project_name=cfg.logging.project_name)
+        # static preprocessing + loss knobs shared by all jitted steps
+        self.preproc = cfg.preproc_spec()
+        self.bidirectional = cfg.loss.bidirectional
+        self.recon_loss = cfg.loss.reconstruction_loss
 
         self.compute_dtype = (jnp.bfloat16 if cfg.training.precision
                               in ("bfloat16", "bf16") else None)
@@ -65,6 +71,7 @@ class RLGANNetTrainer:
         self.model = net.init_model(k_model, cfg)
         self.model = mesh_lib.shard_model_for_mesh(self.mesh, self.model)
 
+        self._save_freq = max(cfg.logging.save_model_frequency, 1)
         self.epoch = 0
         self.current_phase = "autoencoder"
         self.gfvs: Optional[Dict[str, np.ndarray]] = None
@@ -91,7 +98,8 @@ class RLGANNetTrainer:
                 ShapeNetDataset(str(data_dir), split,
                                 cfg.model.autoencoder.num_points,
                                 seed=cfg.training.seed,
-                                split_fractions=fractions),
+                                split_fractions=fractions,
+                                workers=cfg.training.num_workers),
                 bs, shuffle=shuffle, seed=cfg.training.seed)
 
         self.train_loader = make_loader("train", True)
@@ -143,7 +151,9 @@ class RLGANNetTrainer:
                 jnp.asarray(order), jnp.asarray(pads),
                 self._next_key(), optimizer=optimizer,
                 compute_dtype=self.compute_dtype,
-                batch_sharding=mesh_lib.batch_sharding(self.mesh))
+                batch_sharding=mesh_lib.batch_sharding(self.mesh),
+                spec=self.preproc, recon_loss=self.recon_loss,
+                bidirectional=self.bidirectional)
             losses = np.asarray(m["losses"])
             for i, loss in enumerate(losses):
                 if (global_step + i) % log_freq == 0:
@@ -169,8 +179,7 @@ class RLGANNetTrainer:
             if val_loss is not None and val_loss < best_val:
                 best_val = val_loss
                 self.save_checkpoint("autoencoder_best", epoch, "autoencoder")
-            freq = self.config.logging.save_model_frequency
-            if (epoch + 1) % max(freq, 1) == 0:
+            if (epoch + 1) % self._save_freq == 0:
                 self.save_checkpoint(f"autoencoder_epoch_{epoch + 1}", epoch,
                                      "autoencoder")
         print(f"AE done; best val loss {best_val:.6f}")
@@ -181,7 +190,10 @@ class RLGANNetTrainer:
         val_key = jax.random.PRNGKey(0)  # fixed holes for comparable epochs
         for i, batch in enumerate(self.val_loader):
             m = steps.ae_eval_step(params, bn_state, self._put(batch),
-                                   jax.random.fold_in(val_key, i))
+                                   jax.random.fold_in(val_key, i),
+                                   spec=self.preproc,
+                                   recon_loss=self.recon_loss,
+                                   bidirectional=self.bidirectional)
             losses.append(m["loss"])
         return float(jnp.mean(jnp.stack(losses)))
 
@@ -196,7 +208,8 @@ class RLGANNetTrainer:
         for i, batch in enumerate(self.train_loader):
             clean, noisy = steps.gfv_extract_step(
                 self.model["ae"]["params"], self.model["ae"]["state"],
-                self._put(batch), jax.random.fold_in(gkey, i))
+                self._put(batch), jax.random.fold_in(gkey, i),
+                spec=self.preproc)
             keep = batch["pad"] == 0
             clean_all.append(np.asarray(clean)[keep])
             noisy_all.append(np.asarray(noisy)[keep])
@@ -284,6 +297,11 @@ class RLGANNetTrainer:
             if g_loss < best_g:
                 best_g = g_loss
                 self.save_checkpoint("lgan_best", epoch, "lgan")
+            # periodic checkpoints honour logging.save_model_frequency in
+            # every phase (the reference hardcodes 50/200/10 per phase,
+            # train_rl_gan_net.py:367-369,446-448,488-489)
+            if (epoch + 1) % self._save_freq == 0:
+                self.save_checkpoint(f"lgan_epoch_{epoch + 1}", epoch, "lgan")
         self.save_checkpoint("lgan_final", num_epochs - 1, "lgan")
         print(f"LGAN done; best G loss {best_g:.6f}")
         return best_g
@@ -321,7 +339,8 @@ class RLGANNetTrainer:
                 start_training_size=cfg.start_training_steps,
                 steps_per_episode=min(max(cfg.steps_per_episode, 1),
                                       cfg.max_steps_per_episode),
-                updates_per_step=max(cfg.updates_per_step, 1))
+                updates_per_step=max(cfg.updates_per_step, 1),
+                spec=self.preproc)
             rewards_hist.append(float(m["reward"]))
             episode = (it + 1) * envs
             if it % 10 == 0 or it == iters - 1:
@@ -338,6 +357,9 @@ class RLGANNetTrainer:
                 if avg > best_avg:
                     best_avg = avg
                     self.save_checkpoint("rl_agent_best", episode, "rl_agent")
+            if (it + 1) % self._save_freq == 0:
+                self.save_checkpoint(f"rl_agent_episode_{episode}", episode,
+                                     "rl_agent")
         self.save_checkpoint("rl_agent_final", num_episodes, "rl_agent")
         print(f"RL done; best avg reward {best_avg:.4f}")
         return best_avg
@@ -367,7 +389,8 @@ class RLGANNetTrainer:
                 jnp.asarray(order), jnp.asarray(pads),
                 self._next_key(), optimizer=optimizer, cfg=self.td3,
                 compute_dtype=self.compute_dtype,
-                batch_sharding=mesh_lib.batch_sharding(self.mesh))
+                batch_sharding=mesh_lib.batch_sharding(self.mesh),
+                spec=self.preproc, bidirectional=self.bidirectional)
             train_loss = float(np.asarray(m["losses"]).mean())
 
             val_losses = []
@@ -375,7 +398,8 @@ class RLGANNetTrainer:
             for i, batch in enumerate(self.val_loader):
                 vm = steps.joint_eval_step(self.model, self._put(batch),
                                            jax.random.fold_in(vkey, i),
-                                           cfg=self.td3)
+                                           cfg=self.td3, spec=self.preproc,
+                                           bidirectional=self.bidirectional)
                 val_losses.append(vm["loss"])
             val_loss = float(jnp.mean(jnp.stack(val_losses)))
 
@@ -387,6 +411,9 @@ class RLGANNetTrainer:
             if val_loss < best_val:
                 best_val = val_loss
                 self.save_checkpoint("joint_best", epoch, "joint")
+            if (epoch + 1) % self._save_freq == 0:
+                self.save_checkpoint(f"joint_epoch_{epoch + 1}", epoch,
+                                     "joint")
         print(f"Joint done; best val loss {best_val:.6f}")
         return best_val
 
