@@ -57,10 +57,19 @@ def shard_batch(mesh: Mesh, tree):
         lambda x: jax.device_put(x, batch_sharding(mesh, ndim=x.ndim)), tree)
 
 
+# modules whose wide layers benefit from tensor parallelism: the decoder's
+# 256 x 6144 head and the 512-wide latent-GAN layers. Everything else
+# (encoder <=256 wide, actor/critic <=432 wide) stays replicated — at those
+# sizes the all-gather cost exceeds the matmul saving.
+_TP_MODULES = ("decoder", "generator", "discriminator")
+
+
 def _spec_for_param(path: str, leaf) -> P:
-    """Tensor-parallel layout for large weights: shard dense kernels' output
-    dim along "model" when it is large enough to matter (the 256x6144
-    decoder head, the 512-wide GAN layers); replicate everything else."""
+    """Tensor-parallel layout: shard dense kernels' output dim along
+    "model" for the explicitly allowlisted wide modules; replicate
+    everything else. ``path`` is jax.tree_util.keystr of the leaf."""
+    if not any(m in path for m in _TP_MODULES):
+        return P()
     if leaf.ndim == 2 and leaf.shape[-1] % 2 == 0 and leaf.shape[-1] >= 512:
         return P(None, MODEL_AXIS)
     if leaf.ndim == 1 and leaf.shape[-1] % 2 == 0 and leaf.shape[-1] >= 512:
