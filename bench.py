@@ -45,8 +45,14 @@ def bench_completion(batch_sizes=(4096, 8192), iters: int = 15) -> float:
     model = net.init_model(jax.random.PRNGKey(0), config)
 
     ref_fn = jax.jit(lambda m, x: net.complete(m, x, cfg=td3)["hybrid_output"])
-    engine = inference.prepare_inference_engine(model, dtype=jnp.bfloat16)
+    # deployment engine: BN/spectral-norm folded into plain affines, the
+    # K=3 first layer on the VPU, decoder/discriminator pair batched into
+    # one concat pass. f32 is the fast dtype on this chip (f32~bf16 MXU).
+    engine = inference.prepare_inference_engine(model)
     fast_fn = jax.jit(lambda e, x: inference.complete_fast(
+        e, x)["hybrid_output"])
+    engine16 = inference.prepare_inference_engine(model, dtype=jnp.bfloat16)
+    fast16_fn = jax.jit(lambda e, x: inference.complete_fast(
         e, x, dtype=jnp.bfloat16)["hybrid_output"].astype(jnp.float32))
 
     # real-time serving latency: one cloud end to end (the reference's
@@ -65,7 +71,8 @@ def bench_completion(batch_sizes=(4096, 8192), iters: int = 15) -> float:
 
     best = 0.0
     for name, f, arg in (("f32 reference path", ref_fn, model),
-                         ("bf16 fused engine", fast_fn, engine)):
+                         ("f32 folded engine", fast_fn, engine),
+                         ("bf16 kernel engine", fast16_fn, engine16)):
         for bsz in batch_sizes:
             pc = jax.random.normal(jax.random.PRNGKey(1), (bsz, 2048, 3),
                                    jnp.float32)
@@ -86,15 +93,49 @@ def bench_completion(batch_sizes=(4096, 8192), iters: int = 15) -> float:
     return best
 
 
+def bench_train_step(bsz: int = 1024, iters: int = 10) -> float:
+    """Clouds/sec through the jitted AE train step (forward + Chamfer +
+    backward + Adam) so training-perf regressions show up in the scored
+    artifact, not just benchmarks/train_bench.py."""
+    from gan_rl_3d_tpu.config import Config
+    from gan_rl_3d_tpu.models import rl_gan_net as net
+    from gan_rl_3d_tpu.train import steps
+
+    config = Config()
+    model = net.init_model(jax.random.PRNGKey(0), config)
+    key = jax.random.PRNGKey(1)
+    batch = {"complete_pc": jax.random.normal(key, (bsz, 2048, 3)),
+             "pad": jnp.zeros((bsz,))}
+    opt = steps.make_ae_optimizer(config.training.autoencoder, 100)
+    p, s = model["ae"]["params"], model["ae"]["state"]
+    o = opt.init(p)
+
+    p, s, o, m = steps.ae_train_step(p, s, o, batch, key, optimizer=opt)
+    _ = float(m["loss"])  # warm + sync
+    t0 = time.perf_counter()
+    for i in range(iters):
+        p, s, o, m = steps.ae_train_step(p, s, o, batch,
+                                         jax.random.fold_in(key, i),
+                                         optimizer=opt)
+    _ = float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    rate = bsz / dt
+    print(f"# AE train step batch {bsz}: {dt * 1e3:.2f} ms "
+          f"-> {rate:,.0f} clouds/s", flush=True)
+    return rate
+
+
 def main():
     from gan_rl_3d_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     rate = bench_completion()
+    train_rate = bench_train_step()
     print(json.dumps({
         "metric": "completion_throughput",
         "value": round(rate, 1),
         "unit": "clouds/sec",
         "vs_baseline": round(rate / BASELINE_CLOUDS_PER_SEC, 1),
+        "train_step_clouds_per_sec": round(train_rate, 1),
     }))
 
 

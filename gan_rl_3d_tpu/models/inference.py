@@ -81,12 +81,20 @@ def _apply_discriminator(layers: list, x: Array, dtype,
     return x
 
 
-def prepare_inference_engine(model: dict, *, dtype=jnp.bfloat16) -> dict:
+def prepare_inference_engine(model: dict, *, dtype=jnp.float32,
+                             quantize_int8: bool = False) -> dict:
     """Fold the full model into a deployment bundle for complete_fast.
 
     Supports the primary architecture (pointnet encoder + MLP decoder).
     The attention/adaptive variants carry ops that do not fold into plain
-    affine stacks; use models.rl_gan_net.complete for those."""
+    affine stacks; use models.rl_gan_net.complete for those.
+
+    With ``quantize_int8`` the encoder point-MLP — ~98% of the path's
+    FLOPs — is additionally quantized to int8 with per-channel weight and
+    dynamic per-row activation scales (ops.quantize). At this model's
+    layer widths the f32 folded engine is still faster end-to-end (see
+    ops/quantize.py's caveat); int8 is an option for wider trunks and for
+    4x weight-memory savings. The tail stays in ``dtype``."""
     ae_p, ae_s = model["ae"]["params"], model["ae"]["state"]
     if "attention" in ae_p["encoder"]:
         raise ValueError(
@@ -120,7 +128,14 @@ def prepare_inference_engine(model: dict, *, dtype=jnp.bfloat16) -> dict:
         "discriminator": _fold_discriminator(lg_p["discriminator"],
                                              lg_s["discriminator"]),
     }
-    return cast(engine)
+    engine = cast(engine)
+    if quantize_int8:
+        from gan_rl_3d_tpu.ops import quantize
+
+        folded_f32 = encoder_kernel.fold_encoder_params(
+            ae_p["encoder"], ae_s["encoder"], dtype=jnp.float32)
+        engine["encoder_q"] = quantize.quantize_encoder(folded_f32["layers"])
+    return engine
 
 
 def save_engine(path: str, engine: dict) -> None:
@@ -141,20 +156,42 @@ def complete_fast(
     pc: Array,
     mask: Optional[Array] = None,
     *,
-    dtype=jnp.bfloat16,
+    dtype=jnp.float32,
     hybrid: bool = True,
+    use_kernel: Optional[bool] = None,
 ) -> Dict[str, Array]:
-    """Optimized completion: fused-kernel encoder -> folded actor/G/decoder
+    """Optimized completion: folded encoder -> folded actor/G/decoder
     (+ hybrid D gate). Same outputs as models.rl_gan_net.complete with
-    add_noise=False."""
-    noisy_gfv = encoder_kernel.encode_fused(pc, engine["encoder"], mask,
-                                            compute_dtype=dtype)
+    add_noise=False.
+
+    Encoder routing (measured on the target chip, benchmarks/engine_probe):
+    f32 goes through the XLA schedule of the folded chain (fastest — XLA
+    overlaps MXU/VPU across layers better than the monolithic kernel tile);
+    bf16 goes through the Pallas VMEM-resident kernel; an int8 bundle
+    (``encoder_q``) uses the quantized kernel. Override with
+    ``use_kernel``."""
+    bsz = pc.shape[0]
+    if "encoder_q" in engine:
+        pooled = encoder_kernel.fused_encoder_pool_int8(
+            pc, engine["encoder_q"], mask)
+        hw, hb = engine["encoder"]["head"]
+        noisy_gfv = jax.nn.relu(pooled @ hw.astype(jnp.float32)
+                                + hb.astype(jnp.float32))
+    else:
+        if use_kernel is None:
+            use_kernel = dtype == jnp.bfloat16
+        noisy_gfv = encoder_kernel.encode_fused(pc, engine["encoder"], mask,
+                                                compute_dtype=dtype,
+                                                use_kernel=use_kernel)
     z = _apply_mlp(engine["actor"], noisy_gfv, dtype, "tanh")
     clean_gfv = _apply_mlp(engine["generator"], z, dtype, "tanh")
-    completed = _apply_mlp(engine["decoder"], clean_gfv, dtype)
-    completed = completed.reshape(completed.shape[0], -1, 3)
-    ae_recon = _apply_mlp(engine["decoder"], noisy_gfv, dtype)
-    ae_recon = ae_recon.reshape(ae_recon.shape[0], -1, 3)
+    # one concat pass through the decoder (and discriminator, below) for the
+    # GAN path and the plain AE path: a (2B, .) matmul keeps the MXU busier
+    # than two back-to-back (B, .) dispatches and halves weight re-reads
+    both_gfv = jnp.concatenate([clean_gfv, noisy_gfv], axis=0)
+    both_pc = _apply_mlp(engine["decoder"], both_gfv, dtype)
+    both_pc = both_pc.reshape(2 * bsz, -1, 3)
+    completed, ae_recon = both_pc[:bsz], both_pc[bsz:]
     results = {
         "noisy_gfv": noisy_gfv,
         "z_vector": z,
@@ -163,10 +200,9 @@ def complete_fast(
         "ae_reconstruction": ae_recon,
     }
     if hybrid:
-        rl_score = _apply_discriminator(engine["discriminator"], clean_gfv,
-                                        dtype)
-        ae_score = _apply_discriminator(engine["discriminator"], noisy_gfv,
-                                        dtype)
+        both_scores = _apply_discriminator(engine["discriminator"], both_gfv,
+                                           dtype)
+        rl_score, ae_score = both_scores[:bsz], both_scores[bsz:]
         better = (rl_score > ae_score).astype(completed.dtype)[..., None]
         results["hybrid_output"] = (better * completed
                                     + (1.0 - better) * ae_recon)

@@ -72,6 +72,56 @@ def test_complete_fast_bf16_close():
                                          np.float32)))
 
 
+def test_int8_encoder_close_to_f32():
+    """Static-PTQ int8 encoder (ops.quantize) stays close to the f32 chain:
+    the max-pool output is a 128-d GFV whose per-channel error should be a
+    small fraction of its dynamic range."""
+    key = jax.random.PRNGKey(8)
+    params, state = ae.encoder_init(key)
+    pc = jax.random.normal(key, (4, 512, 3))
+    mask = jnp.concatenate([jnp.ones((4, 400)), jnp.zeros((4, 112))], axis=1)
+
+    from gan_rl_3d_tpu.ops import quantize
+
+    folded = encoder_kernel.fold_encoder_params(params, state)
+    qenc = quantize.quantize_encoder(folded["layers"])
+
+    pooled_ref = encoder_kernel.fused_encoder_pool(pc, folded["layers"], mask)
+    pooled_xla = quantize.encode_int8_xla(pc, qenc, mask)
+    pooled_krn = encoder_kernel.fused_encoder_pool_int8(pc, qenc, mask)
+
+    # kernel and XLA quantized paths agree up to round-at-0.5 boundary
+    # flips (a 1-ulp difference in the row scale can flip one int8 level)
+    np.testing.assert_allclose(np.asarray(pooled_krn), np.asarray(pooled_xla),
+                               rtol=1e-2, atol=1e-3)
+    scale = float(np.abs(np.asarray(pooled_ref)).max())
+    err = np.abs(np.asarray(pooled_xla) - np.asarray(pooled_ref))
+    assert err.max() < 0.02 * scale, (err.max(), scale)
+
+    # unmasked path also works (maskless kernel specialization)
+    pooled_nm = encoder_kernel.fused_encoder_pool_int8(pc, qenc)
+    assert np.all(np.isfinite(np.asarray(pooled_nm)))
+
+
+def test_int8_engine_end_to_end():
+    """complete_fast with a calibrated engine produces completions close to
+    the f32 path and identical hybrid gating behavior shape-wise."""
+    config = Config()
+    model = net.init_model(jax.random.PRNGKey(9), config)
+    pc = jax.random.normal(jax.random.PRNGKey(10), (2, 2048, 3))
+
+    ref = net.complete(model, pc, cfg=config.td3_config())
+    engine = inference.prepare_inference_engine(model, dtype=jnp.bfloat16,
+                                                quantize_int8=True)
+    assert "encoder_q" in engine
+    fast = inference.complete_fast(engine, pc, dtype=jnp.bfloat16)
+    err = np.abs(np.asarray(fast["completed_pc"], np.float32)
+                 - np.asarray(ref["completed_pc"]))
+    assert err.max() < 0.1, err.max()
+    assert np.all(np.isfinite(np.asarray(fast["hybrid_output"],
+                                         np.float32)))
+
+
 def test_engine_save_load_roundtrip(tmp_path):
     config = Config()
     model = net.init_model(jax.random.PRNGKey(6), config)
