@@ -38,6 +38,11 @@ def main():
     parser.add_argument("--export-engine", type=str, default=None,
                         help="also fold the model into a bf16 deployment "
                              "engine and save it at this path")
+    parser.add_argument("--ablate-z", action="store_true",
+                        help="also report completion chamfer for ablated "
+                             "z policies (rl / zero / random / ae-only / "
+                             "hybrid) — evidence the agent's z beats the "
+                             "alternatives")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -50,8 +55,29 @@ def main():
     complete_fn = jax.jit(
         lambda m, x, mask: net.complete(m, x, mask, cfg=td3))
 
+    def ablation_outputs(model, incomplete, mask, key):
+        """Completion chamfer inputs for five z policies. The RL agent earns
+        its keep iff 'rl' beats 'zero'/'random' and 'hybrid' beats
+        'ae_only' (reference rl_agent.py:222-343 never demonstrated this —
+        its phase 4 crashes as wired)."""
+        noisy_gfv = net.encode(model, incomplete, mask)
+        z_rl = net.select_z(model, noisy_gfv, td3)
+        z_zero = jnp.zeros_like(z_rl)
+        z_rand = jax.random.uniform(key, z_rl.shape, minval=-td3.action_bound,
+                                    maxval=td3.action_bound)
+        outs = {}
+        for name, z in (("rl", z_rl), ("zero", z_zero), ("random", z_rand)):
+            outs[name] = net.decode(model, net.generate(model, z))
+        outs["ae_only"] = net.decode(model, noisy_gfv)
+        full = net.complete(model, incomplete, mask, cfg=td3)
+        outs["hybrid"] = full["hybrid_output"]
+        return outs
+
+    ablate_fn = jax.jit(ablation_outputs)
+
     metric_names = tuple(config.evaluation.metrics)
     sums = {m: 0.0 for m in metric_names}
+    ablate_sums: dict = {}
     n_samples = 0
     exported = []
     key = jax.random.PRNGKey(123)
@@ -73,6 +99,16 @@ def main():
             sums[m] += float(np.asarray(metrics[m])[keep].sum())
         n_samples += int(keep.sum())
 
+        if args.ablate_z:
+            outs = ablate_fn(model, incomplete, mask,
+                             jax.random.fold_in(k, 7))
+            for name, pred_ab in outs.items():
+                cd = evaluate_completion(
+                    pred_ab, complete_pc, ("chamfer_distance",),
+                    reduce=False)["chamfer_distance"]
+                ablate_sums[name] = ablate_sums.get(name, 0.0) + float(
+                    np.asarray(cd)[keep].sum())
+
         if i == 0 and config.evaluation.save_visualizations:
             out_dir = Path(config.training.results_dir) / "point_clouds"
             ds = trainer.test_loader.dataset
@@ -90,6 +126,12 @@ def main():
     print("\n=== evaluation ===")
     for m, v in stats.items():
         print(f"{m}: {v:.6f}")
+
+    if args.ablate_z:
+        print("\n=== z-policy ablation (completion chamfer, lower=better) ===")
+        for name in ("hybrid", "rl", "zero", "random", "ae_only"):
+            if name in ablate_sums:
+                print(f"{name:>8s}: {ablate_sums[name] / max(n_samples, 1):.6f}")
 
     html = Path(config.training.results_dir) / "results_viewer.html"
     ply.write_results_html(str(html), stats, exported)
