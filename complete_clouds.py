@@ -79,7 +79,8 @@ def main():
         from gan_rl_3d_tpu.models import inference
         weights = inference.load_engine(args.engine)
         fn = jax.jit(lambda w, pc_, m: inference.complete_fast(
-            w, pc_, m)[args.output].astype(jnp.float32))
+            w, pc_, m,
+            gate_mode=config.model.gate_mode)[args.output].astype(jnp.float32))
     else:
         from gan_rl_3d_tpu.models import rl_gan_net as net
         from gan_rl_3d_tpu.utils import checkpoint as ckpt_lib
@@ -91,7 +92,7 @@ def main():
         weights = ckpt_lib.load_checkpoint(str(path), target)["model"]
         td3 = config.td3_config()
         fn = jax.jit(lambda w, pc_, m: net.complete(
-            w, pc_, m, cfg=td3)[args.output])
+            w, pc_, m, cfg=td3, gate_mode=config.model.gate_mode)[args.output])
 
     # fixed-size chunks: pad the last one so every call reuses one trace
     bs = max(1, min(args.batch_size, len(clouds)))

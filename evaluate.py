@@ -36,8 +36,9 @@ def main():
                         choices=["hybrid_output", "completed_pc",
                                  "ae_reconstruction"])
     parser.add_argument("--export-engine", type=str, default=None,
-                        help="also fold the model into a bf16 deployment "
-                             "engine and save it at this path")
+                        help="also fold the model into a deployment engine "
+                             "(f32 folded — the fastest measured path) and "
+                             "save it at this path")
     parser.add_argument("--ablate-z", action="store_true",
                         help="also report completion chamfer for ablated "
                              "z policies (rl / zero / random / ae-only / "
@@ -52,8 +53,10 @@ def main():
     model = trainer.model
     td3 = trainer.td3
 
+    gate_mode = config.model.gate_mode
     complete_fn = jax.jit(
-        lambda m, x, mask: net.complete(m, x, mask, cfg=td3))
+        lambda m, x, mask: net.complete(m, x, mask, cfg=td3,
+                                        gate_mode=gate_mode))
 
     def ablation_outputs(model, incomplete, mask, key):
         """Completion chamfer inputs for five z policies. The RL agent earns
@@ -69,7 +72,8 @@ def main():
         for name, z in (("rl", z_rl), ("zero", z_zero), ("random", z_rand)):
             outs[name] = net.decode(model, net.generate(model, z))
         outs["ae_only"] = net.decode(model, noisy_gfv)
-        full = net.complete(model, incomplete, mask, cfg=td3)
+        full = net.complete(model, incomplete, mask, cfg=td3,
+                            gate_mode=gate_mode)
         outs["hybrid"] = full["hybrid_output"]
         return outs
 

@@ -204,6 +204,20 @@ class ModelConfig:
         default_factory=AutoencoderModelConfig)
     lgan: LGANModelConfig = field(default_factory=LGANModelConfig)
     rl_agent: RLAgentModelConfig = field(default_factory=RLAgentModelConfig)
+    # Which output complete() returns as hybrid_output (TPU addition):
+    #   "discriminator" — the reference's per-sample D-score gate
+    #     (rl_gan_net.py:162-171). Kept as the parity default, but measured
+    #     to misroute after joint fine-tuning (headtohead/RESULTS.md: 0.0637
+    #     vs 0.0463 for the plain RL path on held-out data).
+    #   "rl" — always the RL/GAN path (decode(G(z_rl))).
+    #   "ae" — always the plain AE reconstruction.
+    gate_mode: str = "discriminator"
+
+    def __post_init__(self):
+        if self.gate_mode not in ("discriminator", "rl", "ae"):
+            raise ValueError(
+                f"model.gate_mode must be 'discriminator', 'rl' or 'ae', "
+                f"got {self.gate_mode!r}")
 
 
 @dataclass(frozen=True)

@@ -159,10 +159,13 @@ def complete_fast(
     dtype=jnp.float32,
     hybrid: bool = True,
     use_kernel: Optional[bool] = None,
+    gate_mode: str = "discriminator",
 ) -> Dict[str, Array]:
     """Optimized completion: folded encoder -> folded actor/G/decoder
-    (+ hybrid D gate). Same outputs as models.rl_gan_net.complete with
-    add_noise=False.
+    (+ hybrid gate). Same outputs as models.rl_gan_net.complete with
+    add_noise=False, including its ``gate_mode`` policy ("discriminator" =
+    reference D-score gate; "rl"/"ae" trust one path and skip the
+    discriminator entirely).
 
     Encoder routing (measured on the target chip, benchmarks/engine_probe):
     f32 goes through the XLA schedule of the folded chain (fastest — XLA
@@ -200,12 +203,19 @@ def complete_fast(
         "ae_reconstruction": ae_recon,
     }
     if hybrid:
-        both_scores = _apply_discriminator(engine["discriminator"], both_gfv,
-                                           dtype)
-        rl_score, ae_score = both_scores[:bsz], both_scores[bsz:]
-        better = (rl_score > ae_score).astype(completed.dtype)[..., None]
-        results["hybrid_output"] = (better * completed
-                                    + (1.0 - better) * ae_recon)
-        results["rl_gan_score"] = rl_score
-        results["ae_score"] = ae_score
+        if gate_mode == "rl":
+            results["hybrid_output"] = completed
+        elif gate_mode == "ae":
+            results["hybrid_output"] = ae_recon
+        elif gate_mode == "discriminator":
+            both_scores = _apply_discriminator(engine["discriminator"],
+                                               both_gfv, dtype)
+            rl_score, ae_score = both_scores[:bsz], both_scores[bsz:]
+            better = (rl_score > ae_score).astype(completed.dtype)[..., None]
+            results["hybrid_output"] = (better * completed
+                                        + (1.0 - better) * ae_recon)
+            results["rl_gan_score"] = rl_score
+            results["ae_score"] = ae_score
+        else:
+            raise ValueError(f"invalid gate_mode {gate_mode!r}")
     return results

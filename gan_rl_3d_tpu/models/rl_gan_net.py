@@ -118,12 +118,17 @@ def complete(
     ou_state: Optional[Array] = None,
     add_noise: bool = False,
     hybrid: bool = True,
+    gate_mode: str = "discriminator",
 ) -> Dict[str, Array]:
     """Incomplete cloud (B, N, 3) -> completed cloud + all intermediates.
 
     Pipeline: encode -> actor z -> generator clean GFV -> decode, plus the
-    plain AE reconstruction; with ``hybrid`` the discriminator scores gate a
-    per-sample choice between the two outputs (rl_gan_net.py:162-171).
+    plain AE reconstruction; with ``hybrid`` a per-sample choice between the
+    two outputs lands in ``hybrid_output``. ``gate_mode`` picks the policy
+    (config: model.gate_mode): "discriminator" is the reference's D-score
+    gate (rl_gan_net.py:162-171); "rl"/"ae" trust one path outright —
+    measured on held-out data the D-gate misroutes after joint fine-tuning
+    (headtohead/RESULTS.md), so "rl" is the quality pick.
     """
     noisy_gfv = encode(model, pc, mask)
     z = select_z(model, noisy_gfv, cfg, key=key, ou_state=ou_state,
@@ -139,13 +144,20 @@ def complete(
         "ae_reconstruction": ae_recon,
     }
     if hybrid:
-        rl_score = discriminate(model, clean_gfv)
-        ae_score = discriminate(model, noisy_gfv)
-        better = (rl_score > ae_score).astype(completed.dtype)[..., None]
-        results["hybrid_output"] = (better * completed
-                                    + (1.0 - better) * ae_recon)
-        results["rl_gan_score"] = rl_score
-        results["ae_score"] = ae_score
+        if gate_mode == "rl":
+            results["hybrid_output"] = completed
+        elif gate_mode == "ae":
+            results["hybrid_output"] = ae_recon
+        elif gate_mode == "discriminator":
+            rl_score = discriminate(model, clean_gfv)
+            ae_score = discriminate(model, noisy_gfv)
+            better = (rl_score > ae_score).astype(completed.dtype)[..., None]
+            results["hybrid_output"] = (better * completed
+                                        + (1.0 - better) * ae_recon)
+            results["rl_gan_score"] = rl_score
+            results["ae_score"] = ae_score
+        else:
+            raise ValueError(f"invalid gate_mode {gate_mode!r}")
     return results
 
 

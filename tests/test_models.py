@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gan_rl_3d_tpu.config import Config
 from gan_rl_3d_tpu.models import autoencoder as ae
@@ -133,6 +134,45 @@ def test_composite_complete_and_forward():
     assert set(res_ae) == {"noisy_gfv", "ae_reconstruction"}
     res_lgan = net.forward(model, pc, phase="lgan", mode="training", key=key)
     assert res_lgan["clean_gfv"].shape == (2, 128)
+
+
+def test_gate_modes():
+    """model.gate_mode selects which path lands in hybrid_output:
+    'rl' = decode(G(z_rl)), 'ae' = plain reconstruction, 'discriminator' =
+    the reference's D-score gate (the default, covered above)."""
+    config = Config()
+    key = jax.random.PRNGKey(14)
+    model = net.init_model(key, config)
+    pc = jax.random.normal(key, (2, 2048, 3))
+    td3 = config.td3_config()
+
+    out_rl = net.complete(model, pc, cfg=td3, gate_mode="rl")
+    np.testing.assert_array_equal(np.asarray(out_rl["hybrid_output"]),
+                                  np.asarray(out_rl["completed_pc"]))
+    assert "rl_gan_score" not in out_rl  # D never evaluated
+
+    out_ae = net.complete(model, pc, cfg=td3, gate_mode="ae")
+    np.testing.assert_array_equal(np.asarray(out_ae["hybrid_output"]),
+                                  np.asarray(out_ae["ae_reconstruction"]))
+
+    with pytest.raises(ValueError):
+        net.complete(model, pc, cfg=td3, gate_mode="nope")
+
+    # engine path honours the same knob
+    from gan_rl_3d_tpu.models import inference
+
+    engine = inference.prepare_inference_engine(model)
+    fast_rl = inference.complete_fast(engine, pc, gate_mode="rl")
+    np.testing.assert_array_equal(np.asarray(fast_rl["hybrid_output"]),
+                                  np.asarray(fast_rl["completed_pc"]))
+
+    # config validation
+    from gan_rl_3d_tpu.config import load_config
+
+    cfg = load_config(overrides={"model": {"gate_mode": "rl"}})
+    assert cfg.model.gate_mode == "rl"
+    with pytest.raises(ValueError):
+        load_config(overrides={"model": {"gate_mode": "bogus"}})
 
 
 def test_batched_environment():
