@@ -518,6 +518,37 @@ def rl_step(
     return new_model, buffer, new_ou, metrics
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "spec"))
+def rl_eval_reward(
+    model: dict,
+    batch: Dict[str, Array],
+    key,
+    *,
+    cfg: rl.TD3Config,
+    w_chamfer: float = 100.0,
+    w_gfv: float = 10.0,
+    w_discriminator: float = 0.01,
+    spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
+) -> Array:
+    """Greedy (no exploration noise) single-step reward on a fixed batch —
+    the learning-curve metric the training-time reward can't provide: the
+    per-iteration `rl_step` reward is computed on a different random batch
+    with OU noise each time, so its variance (~±1.5 at quick-config reward
+    scale) swamps the policy's actual progress. Called by the trainer on
+    one fixed validation batch every eval interval and logged as
+    RL/Eval_Reward. The reference has no counterpart (its phase 4 crashes;
+    train_rl_gan_net.py:422-437 logs only the noisy training reward)."""
+    complete, incomplete, mask = pc_ops.make_training_batch(
+        key, batch["complete_pc"], do_augment=False, spec=spec)
+    env0 = net.env_reset(model, incomplete, complete, mask)
+    action, _ = rl.select_action(model["agent"], env0.state, cfg,
+                                 add_noise=False)
+    _, rewards, _, _ = net.env_step(
+        model, env0, action, w_chamfer=w_chamfer, w_gfv=w_gfv,
+        w_discriminator=w_discriminator)
+    return _masked_mean(rewards, batch["pad"])
+
+
 # ---------------------------------------------------------------------------
 # Phase 5: joint fine-tune
 # ---------------------------------------------------------------------------

@@ -327,6 +327,32 @@ class RLGANNetTrainer:
         best_avg = float("-inf")
         rewards_hist = []
 
+        # fixed validation batch + fixed hole-cut key: greedy-policy reward
+        # on it is the low-variance learning curve (steps.rl_eval_reward).
+        # Wrap-pad to a multiple of the mesh's data axis (padded rows carry
+        # pad=1 and are excluded from the metric by _masked_mean).
+        val_data = self.val_loader.dataset.as_array()
+        n_real = int(min(64, len(val_data)))
+        n_data = self.mesh.shape.get("data", 1) if self.mesh else 1
+        n_eval = -(-n_real // n_data) * n_data
+        idx = np.arange(n_eval) % n_real
+        pad = (np.arange(n_eval) >= n_real).astype(np.float32)
+        eval_batch = self._put({"complete_pc": val_data[idx], "pad": pad})
+        eval_key = jax.random.PRNGKey(777)
+        eval_every = max(1, iters // 20)
+
+        def log_eval_reward(episode):
+            r = float(steps.rl_eval_reward(
+                self.model, eval_batch, eval_key, cfg=self.td3,
+                w_chamfer=loss_cfg.w_chamfer, w_gfv=loss_cfg.w_gfv,
+                w_discriminator=loss_cfg.w_discriminator,
+                spec=self.preproc))
+            self.logger.log_scalar("RL/Eval_Reward", r, episode)
+            print(f"  eval reward (greedy, fixed batch) @ep {episode}: "
+                  f"{r:.4f}")
+            return r
+
+        log_eval_reward(0)
         for it in range(iters):
             idx = rng.randint(0, len(data), size=envs)
             batch = {"complete_pc": data[idx],
@@ -343,6 +369,8 @@ class RLGANNetTrainer:
                 spec=self.preproc)
             rewards_hist.append(float(m["reward"]))
             episode = (it + 1) * envs
+            if (it + 1) % eval_every == 0 or it == iters - 1:
+                log_eval_reward(episode)
             if it % 10 == 0 or it == iters - 1:
                 avg = float(np.mean(rewards_hist[-10:]))
                 self.logger.log_scalar("RL/Episode_Reward", rewards_hist[-1],
