@@ -93,10 +93,12 @@ def bench_completion(batch_sizes=(4096, 8192), iters: int = 15) -> float:
     return best
 
 
-def bench_train_step(bsz: int = 1024, iters: int = 10) -> float:
+def bench_train_step(bsz: int = 1024, iters: int = 10,
+                     compute_dtype=None) -> float:
     """Clouds/sec through the jitted AE train step (forward + Chamfer +
     backward + Adam) so training-perf regressions show up in the scored
-    artifact, not just benchmarks/train_bench.py."""
+    artifact, not just benchmarks/train_bench.py. ``compute_dtype=bf16``
+    measures the mixed-precision policy (training.precision: bfloat16)."""
     from gan_rl_3d_tpu.config import Config
     from gan_rl_3d_tpu.models import rl_gan_net as net
     from gan_rl_3d_tpu.train import steps
@@ -109,18 +111,21 @@ def bench_train_step(bsz: int = 1024, iters: int = 10) -> float:
     opt = steps.make_ae_optimizer(config.training.autoencoder, 100)
     p, s = model["ae"]["params"], model["ae"]["state"]
     o = opt.init(p)
+    name = "bf16" if compute_dtype is not None else "f32"
 
-    p, s, o, m = steps.ae_train_step(p, s, o, batch, key, optimizer=opt)
+    p, s, o, m = steps.ae_train_step(p, s, o, batch, key, optimizer=opt,
+                                     compute_dtype=compute_dtype)
     _ = float(m["loss"])  # warm + sync
     t0 = time.perf_counter()
     for i in range(iters):
         p, s, o, m = steps.ae_train_step(p, s, o, batch,
                                          jax.random.fold_in(key, i),
-                                         optimizer=opt)
+                                         optimizer=opt,
+                                         compute_dtype=compute_dtype)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     rate = bsz / dt
-    print(f"# AE train step batch {bsz}: {dt * 1e3:.2f} ms "
+    print(f"# AE train step ({name}) batch {bsz}: {dt * 1e3:.2f} ms "
           f"-> {rate:,.0f} clouds/s", flush=True)
     return rate
 
@@ -130,12 +135,14 @@ def main():
     enable_persistent_cache()
     rate = bench_completion()
     train_rate = bench_train_step()
+    train_rate_bf16 = bench_train_step(compute_dtype=jnp.bfloat16)
     print(json.dumps({
         "metric": "completion_throughput",
         "value": round(rate, 1),
         "unit": "clouds/sec",
         "vs_baseline": round(rate / BASELINE_CLOUDS_PER_SEC, 1),
         "train_step_clouds_per_sec": round(train_rate, 1),
+        "train_step_bf16_clouds_per_sec": round(train_rate_bf16, 1),
     }))
 
 

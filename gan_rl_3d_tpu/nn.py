@@ -130,8 +130,18 @@ def batchnorm_apply(
     x32 = x.astype(jnp.float32)
     if training:
         axes = tuple(range(x.ndim - 1))
+        # Centered two-pass moments, deliberately. The single-pass
+        # E[x^2] - E[x]^2 form would save one full HBM read over the
+        # (B, N, C) activation per BN layer (measured: -9% on the whole AE
+        # train step, benchmarks/train_probe.py) but its cancellation
+        # amplifies partition-dependent reduction rounding ~10x, which
+        # breaks the sharded-vs-single-device trajectory equivalence the
+        # framework guarantees (tests/test_sharding.py saw 3-step loss
+        # divergence grow 1e-8 -> 3e-3). The centered form keeps the
+        # per-device partial sums small so every partitioning rounds to
+        # the same f32 result.
         mean = jnp.mean(x32, axis=axes)
-        var = jnp.var(x32, axis=axes)
+        var = jnp.mean(jnp.square(x32 - mean), axis=axes)
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {

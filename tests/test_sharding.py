@@ -95,6 +95,30 @@ def test_complete_runs_sharded():
     assert np.all(np.isfinite(np.asarray(out["hybrid_output"])))
 
 
+def test_engine_serving_dp8_matches_single_device():
+    """The deployment engine (models.inference.complete_fast) under 8-way
+    data-parallel serving: replicated folded weights + batch sharded along
+    "data" must reproduce the single-device outputs exactly (same program,
+    different partitioning) — the multi-chip serving configuration."""
+    from gan_rl_3d_tpu.models import inference
+
+    config = load_config(None, overrides=OVERRIDES)
+    model = net.init_model(jax.random.PRNGKey(0), config)
+    engine = inference.prepare_inference_engine(model)
+    pc = jax.random.normal(jax.random.PRNGKey(3), (16, N_POINTS, 3))
+
+    fn = jax.jit(inference.complete_fast)
+    out1 = fn(engine, pc)
+
+    mesh = mesh_lib.make_mesh()
+    eng8 = jax.device_put(engine, mesh_lib.replicated(mesh))
+    pc8 = mesh_lib.shard_batch(mesh, pc)
+    out8 = fn(eng8, pc8)
+    np.testing.assert_allclose(np.asarray(out8["hybrid_output"]),
+                               np.asarray(out1["hybrid_output"]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_resident_epoch_preserves_data_parallelism():
     """The resident-data epoch scan must shard gathered batches along the
     data axis (not silently replicate the work) and match the unsharded
