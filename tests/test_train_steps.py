@@ -273,3 +273,30 @@ def test_ae_epoch_scan_matches_stepwise(config, model):
         np.asarray(p1["encoder"]["point_mlp"][0]["dense"]["w"]),
         np.asarray(p2["encoder"]["point_mlp"][0]["dense"]["w"]),
         rtol=1e-5, atol=1e-7)
+
+
+def test_rl_eval_reward_greedy_and_deterministic(config, model):
+    """The learning-curve metric (steps.rl_eval_reward) must be a pure
+    function of (model, batch, key) — same key, same reward — and must use
+    the greedy policy: it matches a manual no-noise env rollout."""
+    td3 = config.td3_config()
+    key = jax.random.PRNGKey(77)
+    batch = {"complete_pc": jax.random.normal(jax.random.PRNGKey(8),
+                                              (8, N_POINTS, 3)),
+             "pad": jnp.zeros((8,))}
+
+    r1 = float(steps.rl_eval_reward(model, batch, key, cfg=td3))
+    r2 = float(steps.rl_eval_reward(model, batch, key, cfg=td3))
+    assert r1 == r2
+    assert np.isfinite(r1)
+
+    # manual greedy rollout with the same fixed hole-cut key
+    from gan_rl_3d_tpu.ops import pointcloud as pc_ops
+
+    complete, incomplete, mask = pc_ops.make_training_batch(
+        key, batch["complete_pc"], do_augment=False)
+    env0 = net.env_reset(model, incomplete, complete, mask)
+    action, _ = rl.select_action(model["agent"], env0.state, td3,
+                                 add_noise=False)
+    _, rewards, _, _ = net.env_step(model, env0, action)
+    assert np.isclose(r1, float(jnp.mean(rewards)), rtol=1e-5)
