@@ -91,6 +91,9 @@ class RLTrainConfig:
     policy_noise: float = 0.2
     noise_clip: float = 0.5
     policy_delay: int = 2
+    # TPU addition: critic-warmup — actor updates are skipped for the
+    # first N TD3 updates (see models.rl_agent.TD3Config.actor_warmup)
+    actor_warmup: int = 0
     start_training_steps: int = 1000
     # TPU additions: parallel environment instances per device program, env
     # steps per episode (capped by max_steps_per_episode; 1 = reference
@@ -251,6 +254,7 @@ class Config:
             policy_noise=t.policy_noise,
             noise_clip=t.noise_clip,
             policy_delay=t.policy_delay,
+            actor_warmup=t.actor_warmup,
         )
 
     def preproc_spec(self):

@@ -52,6 +52,13 @@ class TD3Config(NamedTuple):
     policy_noise: float = 0.2
     noise_clip: float = 0.5
     policy_delay: int = 2
+    # TPU addition: skip actor (policy) updates for the first N TD3 updates
+    # so the twin critics settle before the policy starts following them.
+    # 0 = reference behaviour. Motivation: on the attention/adaptive
+    # variant the default schedule collapses the policy within ~450
+    # episodes, and even the primary architecture shows a transient
+    # critic-misled dip at scale (runs/{variant,best2}/RESULTS.md).
+    actor_warmup: int = 0
     action_bound: float = 1.0
     # OU noise process (rl_agent.py:169-192)
     ou_mu: float = 0.0
@@ -325,8 +332,10 @@ def agent_update(agent: dict, batch: TransitionBatch, key,
                 targets_in, jnp.zeros((), jnp.float32))
 
     (actor_out, opt_a_state, c1_state_final, targets_out,
-     actor_loss) = jax.lax.cond(step % cfg.policy_delay == 0,
-                                do_actor_update, skip_actor_update, None)
+     actor_loss) = jax.lax.cond(
+         jnp.logical_and(step % cfg.policy_delay == 0,
+                         step > cfg.actor_warmup),
+         do_actor_update, skip_actor_update, None)
 
     new_agent = {
         "actor": actor_out,

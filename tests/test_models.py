@@ -136,6 +136,35 @@ def test_composite_complete_and_forward():
     assert res_lgan["clean_gfv"].shape == (2, 128)
 
 
+def test_actor_warmup_delays_policy_updates():
+    """cfg.actor_warmup: critics update from step 1 but the actor stays
+    frozen until step > warmup (then the usual policy_delay cadence)."""
+    cfg = rl.TD3Config(actor_warmup=3, policy_delay=2)
+    key = jax.random.PRNGKey(21)
+    agent = rl.agent_init(key, cfg)
+    batch = rl.TransitionBatch(
+        states=jax.random.normal(key, (32, 128)),
+        actions=jnp.clip(jax.random.normal(key, (32, 1)), -1, 1),
+        rewards=jax.random.normal(key, (32, 1)),
+        next_states=jax.random.normal(key, (32, 128)),
+        dones=jnp.zeros((32, 1)),
+    )
+    update = jax.jit(rl.agent_update, static_argnames="cfg")
+    w0 = np.asarray(agent["actor"]["params"]["mlp"][0]["dense"]["w"]).copy()
+    c0 = np.asarray(agent["critic1"]["params"]["state_fc"]["w"]).copy()
+    for step in range(1, 5):
+        agent, _ = update(agent, batch, jax.random.fold_in(key, step),
+                          cfg=cfg)
+        w = np.asarray(agent["actor"]["params"]["mlp"][0]["dense"]["w"])
+        if step <= 3:  # warmup (and step 4 is the first eligible even step)
+            np.testing.assert_array_equal(w, w0)
+        else:
+            assert not np.array_equal(w, w0), step
+    # critics were never frozen
+    assert not np.array_equal(
+        np.asarray(agent["critic1"]["params"]["state_fc"]["w"]), c0)
+
+
 def test_gate_modes():
     """model.gate_mode selects which path lands in hybrid_output:
     'rl' = decode(G(z_rl)), 'ae' = plain reconstruction, 'discriminator' =
