@@ -49,13 +49,19 @@ def _load_framed(path, n_points, rng):
 def _build_fn(args, config):
     """Return (fn, weights): one jitted (weights, clouds, masks) -> output
     closure from either an exported engine or a training checkpoint."""
+    from gan_rl_3d_tpu.train.gate import load_gate_calibration
+
+    gate_mode, gate_bias = load_gate_calibration(
+        config.training.checkpoint_dir,
+        default_mode=config.model.gate_mode,
+        default_bias=config.model.gate_bias)
     if args.engine:
         from gan_rl_3d_tpu.models import inference
 
         weights = inference.load_engine(args.engine)
         fn = jax.jit(lambda w, pc_, m: inference.complete_fast(
-            w, pc_, m,
-            gate_mode=config.model.gate_mode)[args.output].astype(jnp.float32))
+            w, pc_, m, gate_mode=gate_mode,
+            gate_bias=gate_bias)[args.output].astype(jnp.float32))
     else:
         from gan_rl_3d_tpu.models import rl_gan_net as net
         from gan_rl_3d_tpu.utils import checkpoint as ckpt_lib
@@ -67,7 +73,8 @@ def _build_fn(args, config):
         weights = ckpt_lib.load_checkpoint(str(path), target)["model"]
         td3 = config.td3_config()
         fn = jax.jit(lambda w, pc_, m: net.complete(
-            w, pc_, m, cfg=td3, gate_mode=config.model.gate_mode)[args.output])
+            w, pc_, m, cfg=td3, gate_mode=gate_mode,
+            gate_bias=gate_bias)[args.output])
     return fn, weights
 
 
@@ -115,15 +122,25 @@ def _watch(args, config, fn, weights, n_points):
     while args.max_files is None or done < args.max_files:
         batch = []
         now = time.time()
+        present = set()
         for p in sorted(watch_dir.iterdir()) if watch_dir.is_dir() else []:
             if p.suffix.lower() not in _CLOUD_SUFFIXES:
                 continue
-            mtime = p.stat().st_mtime
-            if seen.get(p.name) == mtime or now - mtime < args.settle:
-                continue
+            present.add(p.name)
             try:
+                # the file can vanish between iterdir() and here; a
+                # deleted entry must not kill the resident service
+                mtime = p.stat().st_mtime
+                if seen.get(p.name) == mtime or now - mtime < args.settle:
+                    continue
                 pc, mask, frame = _load_framed(str(p), n_points, rng)
-            except (IOError, ValueError) as e:
+            except OSError as e:
+                if not p.exists():
+                    continue
+                print(f"{p}: skipped ({e})", flush=True)
+                seen[p.name] = now
+                continue
+            except ValueError as e:
                 print(f"{p}: skipped ({e})", flush=True)
                 seen[p.name] = mtime
                 continue
@@ -131,6 +148,11 @@ def _watch(args, config, fn, weights, n_points):
             batch.append((p.stem, pc, mask, frame))
             if args.max_files is not None and done + len(batch) >= args.max_files:
                 break
+        # drop bookkeeping for files deleted from the watch dir so a
+        # long-running service's memory stays bounded
+        for name in list(seen):
+            if name not in present:
+                del seen[name]
         if batch:
             t0 = time.perf_counter()
             written = _complete_and_write(fn, weights, batch,
@@ -191,10 +213,10 @@ def main():
     fn, weights = _build_fn(args, config)
 
     if args.watch:
-        if args.batch_size > 1 and args.max_files is None:
-            # service latency beats throughput: default to singles unless
-            # the caller explicitly batches
-            args.batch_size = max(1, min(args.batch_size, 8))
+        # service latency beats throughput: cap the chunk size so one big
+        # drop of files doesn't stall the first completions behind a huge
+        # batch (files that arrive together still share a dispatch, up to 8)
+        args.batch_size = max(1, min(args.batch_size, 8))
         _watch(args, config, fn, weights, n_points)
         return
 

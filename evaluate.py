@@ -44,6 +44,11 @@ def main():
                              "z policies (rl / zero / random / ae-only / "
                              "hybrid) — evidence the agent's z beats the "
                              "alternatives")
+    parser.add_argument("--metrics", type=str, default=None,
+                        help="comma-separated metric override (chamfer_"
+                             "distance,hausdorff_distance,completion_ratio,"
+                             "f_score,emd); default: evaluation.metrics "
+                             "from the config")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -53,10 +58,20 @@ def main():
     model = trainer.model
     td3 = trainer.td3
 
-    gate_mode = config.model.gate_mode
+    # prefer the post-joint gate calibration sidecar when one exists
+    from gan_rl_3d_tpu.train.gate import load_gate_calibration
+
+    gate_mode, gate_bias = load_gate_calibration(
+        config.training.checkpoint_dir,
+        default_mode=config.model.gate_mode,
+        default_bias=config.model.gate_bias)
+    if (gate_mode, gate_bias) != (config.model.gate_mode,
+                                  config.model.gate_bias):
+        print(f"using calibrated gate: mode={gate_mode} bias={gate_bias:.4f}")
     complete_fn = jax.jit(
         lambda m, x, mask: net.complete(m, x, mask, cfg=td3,
-                                        gate_mode=gate_mode))
+                                        gate_mode=gate_mode,
+                                        gate_bias=gate_bias))
 
     def ablation_outputs(model, incomplete, mask, key):
         """Completion chamfer inputs for five z policies. The RL agent earns
@@ -73,13 +88,14 @@ def main():
             outs[name] = net.decode(model, net.generate(model, z))
         outs["ae_only"] = net.decode(model, noisy_gfv)
         full = net.complete(model, incomplete, mask, cfg=td3,
-                            gate_mode=gate_mode)
+                            gate_mode=gate_mode, gate_bias=gate_bias)
         outs["hybrid"] = full["hybrid_output"]
         return outs
 
     ablate_fn = jax.jit(ablation_outputs)
 
-    metric_names = tuple(config.evaluation.metrics)
+    metric_names = (tuple(m.strip() for m in args.metrics.split(","))
+                    if args.metrics else tuple(config.evaluation.metrics))
     sums = {m: 0.0 for m in metric_names}
     ablate_sums: dict = {}
     n_samples = 0

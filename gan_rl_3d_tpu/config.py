@@ -94,6 +94,10 @@ class RLTrainConfig:
     # TPU addition: critic-warmup — actor updates are skipped for the
     # first N TD3 updates (see models.rl_agent.TD3Config.actor_warmup)
     actor_warmup: int = 0
+    # TPU addition: warmup-then-ramp — after the warmup gate opens, the
+    # actor lr ramps linearly to actor_lr over this many applied policy
+    # updates (TD3Config.actor_lr_ramp; 0 = constant lr)
+    actor_lr_ramp: int = 0
     start_training_steps: int = 1000
     # TPU additions: parallel environment instances per device program, env
     # steps per episode (capped by max_steps_per_episode; 1 = reference
@@ -109,13 +113,33 @@ class JointTrainConfig:
     epochs: int = 50
     lr: float = 1e-4
     weight_decay: float = 1e-5
+    # TPU additions fixing the reference design's phase-5 regression (its
+    # joint loss trains only the GAN path, so the AE path — and with it the
+    # hybrid gate's fallback — degrades; runs/best/RESULTS.md):
+    # * w_ae_recon adds w * chamfer(decode(noisy_gfv), complete) to the
+    #   joint loss so the AE path keeps improving too (0.0 = reference
+    #   behaviour, train_rl_gan_net.py:493-522)
+    # * refresh_d_steps > 0 retrains the discriminator (WGAN-GP, G frozen)
+    #   on re-extracted post-joint GFVs so the hybrid gate scores the
+    #   distribution it actually sees
+    # * calibrate_gate sweeps the gate threshold on the val split and
+    #   writes gate_calibration.json next to the checkpoints
+    w_ae_recon: float = 0.0
+    refresh_d_steps: int = 0
+    calibrate_gate: bool = False
 
 
 @dataclass(frozen=True)
 class TrainingConfig:
     device: str = "tpu"
-    # "float32" or "bfloat16": mixed-precision policy for the heavy train
-    # steps (bf16 matmuls/activations, f32 master weights + BN stats + loss)
+    # Mixed-precision policy for the heavy train steps:
+    #   "float32"        — everything f32 (quality default on this model)
+    #   "bfloat16"/"bf16" — bf16 matmuls/activations, f32 master weights +
+    #                       BN stats + loss
+    #   "bf16_selective" — bf16 everywhere except the decoder's final
+    #                       coordinate head, which stays f32 (the layer
+    #                       where bf16 rounding hurt quality —
+    #                       runs/bf16/RESULTS.md, docs/PERF.md)
     precision: str = "float32"
     seed: int = 42
     batch_size: int = 32
@@ -215,6 +239,12 @@ class ModelConfig:
     #   "rl" — always the RL/GAN path (decode(G(z_rl))).
     #   "ae" — always the plain AE reconstruction.
     gate_mode: str = "discriminator"
+    # D-gate decision threshold: GAN path chosen when D(clean) > D(noisy)
+    # + gate_bias. 0.0 = the reference's raw comparison; the trainer's
+    # post-joint gate calibration (train.gate.calibrate_gate) writes the
+    # val-chamfer-minimising value into checkpoints/gate_calibration.json,
+    # which evaluate.py / complete_clouds.py prefer over this knob.
+    gate_bias: float = 0.0
 
     def __post_init__(self):
         if self.gate_mode not in ("discriminator", "rl", "ae"):
@@ -255,6 +285,7 @@ class Config:
             noise_clip=t.noise_clip,
             policy_delay=t.policy_delay,
             actor_warmup=t.actor_warmup,
+            actor_lr_ramp=t.actor_lr_ramp,
         )
 
     def preproc_spec(self):

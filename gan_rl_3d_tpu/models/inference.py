@@ -160,12 +160,14 @@ def complete_fast(
     hybrid: bool = True,
     use_kernel: Optional[bool] = None,
     gate_mode: str = "discriminator",
+    gate_bias: float = 0.0,
 ) -> Dict[str, Array]:
     """Optimized completion: folded encoder -> folded actor/G/decoder
     (+ hybrid gate). Same outputs as models.rl_gan_net.complete with
     add_noise=False, including its ``gate_mode`` policy ("discriminator" =
-    reference D-score gate; "rl"/"ae" trust one path and skip the
-    discriminator entirely).
+    reference D-score gate, with the calibratable ``gate_bias`` decision
+    threshold; "rl"/"ae" trust one path and skip the discriminator
+    entirely).
 
     Encoder routing (measured on the target chip, benchmarks/engine_probe):
     f32 goes through the XLA schedule of the folded chain (fastest — XLA
@@ -173,6 +175,8 @@ def complete_fast(
     bf16 goes through the Pallas VMEM-resident kernel; an int8 bundle
     (``encoder_q``) uses the quantized kernel. Override with
     ``use_kernel``."""
+    if gate_mode not in ("discriminator", "rl", "ae"):
+        raise ValueError(f"invalid gate_mode {gate_mode!r}")
     bsz = pc.shape[0]
     if "encoder_q" in engine:
         pooled = encoder_kernel.fused_encoder_pool_int8(
@@ -207,15 +211,14 @@ def complete_fast(
             results["hybrid_output"] = completed
         elif gate_mode == "ae":
             results["hybrid_output"] = ae_recon
-        elif gate_mode == "discriminator":
+        else:  # "discriminator"
             both_scores = _apply_discriminator(engine["discriminator"],
                                                both_gfv, dtype)
             rl_score, ae_score = both_scores[:bsz], both_scores[bsz:]
-            better = (rl_score > ae_score).astype(completed.dtype)[..., None]
+            better = (rl_score > ae_score + gate_bias).astype(
+                completed.dtype)[..., None]
             results["hybrid_output"] = (better * completed
                                         + (1.0 - better) * ae_recon)
             results["rl_gan_score"] = rl_score
             results["ae_score"] = ae_score
-        else:
-            raise ValueError(f"invalid gate_mode {gate_mode!r}")
     return results

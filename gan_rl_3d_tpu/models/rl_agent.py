@@ -59,6 +59,16 @@ class TD3Config(NamedTuple):
     # episodes, and even the primary architecture shows a transient
     # critic-misled dip at scale (runs/{variant,best2}/RESULTS.md).
     actor_warmup: int = 0
+    # TPU addition: after the warmup gate opens, ramp the actor lr
+    # linearly from ~0 up to actor_lr over this many *applied* policy
+    # updates (the ramp counter advances only when a delayed update
+    # actually fires). 0 = constant actor_lr (reference behaviour; also
+    # keeps the optimizer state structure of pre-ramp checkpoints).
+    # Motivation: the variant architecture's reward landscape needs a
+    # gentler policy-update onset than the primary's — warmup alone holds
+    # the collapse off but full-rate updates afterwards stay flat
+    # (runs/variant/RESULTS.md).
+    actor_lr_ramp: int = 0
     action_bound: float = 1.0
     # OU noise process (rl_agent.py:169-192)
     ou_mu: float = 0.0
@@ -169,8 +179,16 @@ def ou_step(key, ou_state: Array, cfg: TD3Config) -> Array:
 
 
 def _optims(cfg: TD3Config):
-    return (optax.adam(cfg.actor_lr), optax.adam(cfg.critic_lr),
-            optax.adam(cfg.critic_lr))
+    if cfg.actor_lr_ramp > 0:
+        ramp = float(cfg.actor_lr_ramp)
+
+        def actor_schedule(count):
+            return cfg.actor_lr * jnp.clip((count + 1.0) / ramp, 0.0, 1.0)
+
+        opt_a = optax.adam(learning_rate=actor_schedule)
+    else:
+        opt_a = optax.adam(cfg.actor_lr)
+    return (opt_a, optax.adam(cfg.critic_lr), optax.adam(cfg.critic_lr))
 
 
 def agent_init(key, cfg: TD3Config) -> dict:

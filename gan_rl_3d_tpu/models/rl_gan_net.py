@@ -119,6 +119,7 @@ def complete(
     add_noise: bool = False,
     hybrid: bool = True,
     gate_mode: str = "discriminator",
+    gate_bias: float = 0.0,
 ) -> Dict[str, Array]:
     """Incomplete cloud (B, N, 3) -> completed cloud + all intermediates.
 
@@ -129,7 +130,14 @@ def complete(
     gate (rl_gan_net.py:162-171); "rl"/"ae" trust one path outright —
     measured on held-out data the D-gate misroutes after joint fine-tuning
     (headtohead/RESULTS.md), so "rl" is the quality pick.
+
+    ``gate_bias`` shifts the D-gate's decision boundary: the GAN path is
+    chosen when D(clean) > D(noisy) + bias. Calibrated on the val split by
+    train.gate.calibrate_gate after the discriminator refresh; 0.0 is the
+    reference's raw comparison.
     """
+    if gate_mode not in ("discriminator", "rl", "ae"):
+        raise ValueError(f"invalid gate_mode {gate_mode!r}")
     noisy_gfv = encode(model, pc, mask)
     z = select_z(model, noisy_gfv, cfg, key=key, ou_state=ou_state,
                  add_noise=add_noise)
@@ -148,16 +156,15 @@ def complete(
             results["hybrid_output"] = completed
         elif gate_mode == "ae":
             results["hybrid_output"] = ae_recon
-        elif gate_mode == "discriminator":
+        else:  # "discriminator"
             rl_score = discriminate(model, clean_gfv)
             ae_score = discriminate(model, noisy_gfv)
-            better = (rl_score > ae_score).astype(completed.dtype)[..., None]
+            better = (rl_score > ae_score + gate_bias).astype(
+                completed.dtype)[..., None]
             results["hybrid_output"] = (better * completed
                                         + (1.0 - better) * ae_recon)
             results["rl_gan_score"] = rl_score
             results["ae_score"] = ae_score
-        else:
-            raise ValueError(f"invalid gate_mode {gate_mode!r}")
     return results
 
 

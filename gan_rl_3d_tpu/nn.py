@@ -90,11 +90,13 @@ def dense_init(
 
 def dense_apply(params: dict, x: Array) -> Array:
     """Matmul in the parameter/activation dtype with f32 MXU accumulation;
-    the result follows x's dtype (so a bf16 policy keeps activations bf16).
-    For bf16 compute, cast the params once at the call site — mixing bf16 x
-    with f32 w would silently promote to an f32 matmul."""
+    the result follows the WEIGHT's dtype — the precision policy lives in
+    the params. Under a uniform bf16 policy (params cast at the call site)
+    activations stay bf16; a layer whose params are deliberately kept f32
+    (the selective-precision decoder head) promotes its bf16 input and
+    emits f32, creating an f32 island without any extra plumbing."""
     y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
-    return (y + params["b"].astype(jnp.float32)).astype(x.dtype)
+    return (y + params["b"].astype(jnp.float32)).astype(params["w"].dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -51,10 +51,49 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, tree):
-    """Device-put every array in a batch pytree, sharded on the batch axis."""
+def shard_batch(mesh: Mesh, tree, *, process_local: bool = False):
+    """Device-put every array in a batch pytree, sharded on the batch axis.
+
+    ``process_local=False`` (single-host): every array is the full global
+    batch and ``jax.device_put`` splits it across the mesh.
+
+    ``process_local=True`` (multi-host): each process passes only ITS shard
+    of the global batch — ``global_batch // process_count`` rows, the slice
+    returned by ``process_local_slice`` — and
+    ``jax.make_array_from_process_local_data`` assembles the global sharded
+    array without any cross-host copy of cloud data (docs/SCALING.md
+    "Extending beyond one host"). Single-process, this degenerates to the
+    plain path (local data == global data), which is how it is unit-tested.
+    """
+    if not process_local:
+        return jax.tree.map(
+            lambda x: jax.device_put(x, batch_sharding(mesh, ndim=x.ndim)),
+            tree)
     return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, ndim=x.ndim)), tree)
+        lambda x: jax.make_array_from_process_local_data(
+            batch_sharding(mesh, ndim=x.ndim), np.asarray(x)), tree)
+
+
+def process_local_slice(global_batch: int,
+                        process_index: Optional[int] = None,
+                        process_count: Optional[int] = None) -> slice:
+    """Row range of the global batch that THIS process must load and feed
+    when using ``shard_batch(..., process_local=True)``.
+
+    The "data" mesh axis is laid out process-major (jax.devices() orders
+    devices by process), so process p owns the contiguous rows
+    [p*B/P, (p+1)*B/P). ``global_batch`` must divide evenly by the process
+    count — fixed shapes everywhere, per the framework invariant."""
+    process_index = (jax.process_index() if process_index is None
+                     else process_index)
+    process_count = (jax.process_count() if process_count is None
+                     else process_count)
+    if global_batch % process_count != 0:
+        raise ValueError(
+            f"global batch {global_batch} must divide evenly across "
+            f"{process_count} processes (fixed shapes everywhere)")
+    per = global_batch // process_count
+    return slice(process_index * per, (process_index + 1) * per)
 
 
 # modules whose wide layers benefit from tensor parallelism: the decoder's

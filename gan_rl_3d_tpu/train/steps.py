@@ -78,9 +78,26 @@ def _policy_cast(tree, dtype):
     return jax.tree.map(lambda v: v.astype(dtype), tree)
 
 
+def _policy_cast_ae_selective(tree, dtype):
+    """Selective mixed precision for an AE params tree: bf16 everywhere
+    except the decoder's final (coordinate-emitting) head layer, which
+    stays f32 — dense_apply then promotes the head's bf16 input and the
+    predicted coordinates feed the Chamfer loss in f32. Motivated by
+    runs/bf16/RESULTS.md: the uniform bf16 policy is 1.55x faster but
+    measurably worse at equal epochs; the head is where coordinate
+    rounding bites."""
+    cast = _policy_cast(tree, dtype)
+    if "decoder" in tree and "mlp" in tree["decoder"]:
+        mlp = list(cast["decoder"]["mlp"])
+        mlp[-1] = tree["decoder"]["mlp"][-1]
+        cast = dict(cast, decoder=dict(cast["decoder"], mlp=mlp))
+    return cast
+
+
 @functools.partial(jax.jit, static_argnames=("optimizer", "augment",
                                              "compute_dtype", "spec",
-                                             "recon_loss", "bidirectional"))
+                                             "recon_loss", "bidirectional",
+                                             "selective"))
 def ae_train_step(
     params: dict,
     bn_state: dict,
@@ -94,6 +111,7 @@ def ae_train_step(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     recon_loss: str = "chamfer",
     bidirectional: bool = True,
+    selective: bool = False,
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """One AE step: on-device hole-cutting/augment -> forward -> Chamfer
     (incomplete -> complete, SURVEY §3.2) -> Adam.
@@ -108,7 +126,8 @@ def ae_train_step(
     def loss_fn(p):
         x_in = incomplete
         if compute_dtype is not None:
-            p = _policy_cast(p, compute_dtype)
+            p = (_policy_cast_ae_selective(p, compute_dtype) if selective
+                 else _policy_cast(p, compute_dtype))
             x_in = incomplete.astype(compute_dtype)
         (recon, _gfv), new_state = ae.autoencoder_apply(
             p, bn_state, x_in, mask, training=True)
@@ -142,7 +161,8 @@ def ae_eval_step(params: dict, bn_state: dict, batch: Dict[str, Array],
 
 @functools.partial(jax.jit, static_argnames=("optimizer", "augment",
                                              "compute_dtype", "spec",
-                                             "recon_loss", "bidirectional"))
+                                             "recon_loss", "bidirectional",
+                                             "selective"))
 def ae_train_epoch(
     params: dict,
     bn_state: dict,
@@ -156,6 +176,7 @@ def ae_train_epoch(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     recon_loss: str = "chamfer",
     bidirectional: bool = True,
+    selective: bool = False,
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """A whole epoch of AE steps as one compiled program (lax.scan over the
     step axis). Per-step host dispatch dominates epoch wall time at this
@@ -169,7 +190,7 @@ def ae_train_epoch(
         p, s, o, m = ae_train_step.__wrapped__(
             p, s, o, batch, k, optimizer=optimizer, augment=augment,
             compute_dtype=compute_dtype, spec=spec, recon_loss=recon_loss,
-            bidirectional=bidirectional)
+            bidirectional=bidirectional, selective=selective)
         return (p, s, o), m["loss"]
 
     n_steps = epoch_batches["complete_pc"].shape[0]
@@ -200,7 +221,8 @@ def _shard_gathered_batch(batch, batch_sharding):
 @functools.partial(jax.jit, static_argnames=("optimizer", "augment",
                                              "compute_dtype",
                                              "batch_sharding", "spec",
-                                             "recon_loss", "bidirectional"))
+                                             "recon_loss", "bidirectional",
+                                             "selective"))
 def ae_train_epoch_resident(
     params: dict,
     bn_state: dict,
@@ -217,6 +239,7 @@ def ae_train_epoch_resident(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     recon_loss: str = "chamfer",
     bidirectional: bool = True,
+    selective: bool = False,
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """AE epoch over a device-resident dataset: the host sends only the
     shuffled index matrix per epoch (S, B) int32 — a few KB — instead of
@@ -237,7 +260,7 @@ def ae_train_epoch_resident(
         p, s, o, m = ae_train_step.__wrapped__(
             p, s, o, batch, k, optimizer=optimizer, augment=augment,
             compute_dtype=compute_dtype, spec=spec, recon_loss=recon_loss,
-            bidirectional=bidirectional)
+            bidirectional=bidirectional, selective=selective)
         return (p, s, o), m["loss"]
 
     keys = jax.random.split(key, order.shape[0])
@@ -413,6 +436,43 @@ def lgan_combined_step(
     return lgan_params, lgan_state, d_opt_state, g_opt_state, metrics
 
 
+@functools.partial(jax.jit, static_argnames=("d_opt", "lambda_gp", "z_dim"))
+def lgan_d_refresh(
+    lgan_params: dict,
+    lgan_state: dict,
+    d_opt_state,
+    real_gfvs: Array,
+    key,
+    *,
+    d_opt: optax.GradientTransformation,
+    lambda_gp: float = 10.0,
+    z_dim: int = 1,
+) -> Tuple[dict, dict, object, Dict[str, Array]]:
+    """Discriminator-only refresh: K WGAN-GP D updates with the generator
+    frozen, as one compiled scan. Used after joint fine-tuning to retrain
+    the hybrid gate's critic on the post-joint GFV distribution — joint
+    training shifts both the encoder's clean GFVs (the real samples) and
+    G's outputs (the fakes), leaving the phase-3 D stale (the gate
+    misrouting measured in headtohead/RESULTS.md).
+
+    ``real_gfvs``: (K, B, latent) re-extracted post-joint clean GFVs.
+    Fakes come from the current (frozen) generator inside lgan_d_step.
+    """
+
+    def body(carry, inp):
+        params, state, opt_state = carry
+        real, k = inp
+        params, state, opt_state, m = lgan_d_step.__wrapped__(
+            params, state, opt_state, real, k, d_opt=d_opt,
+            lambda_gp=lambda_gp, z_dim=z_dim)
+        return (params, state, opt_state), m["d_loss"]
+
+    keys = jax.random.split(key, real_gfvs.shape[0])
+    (lgan_params, lgan_state, d_opt_state), d_losses = jax.lax.scan(
+        body, (lgan_params, lgan_state, d_opt_state), (real_gfvs, keys))
+    return lgan_params, lgan_state, d_opt_state, {"d_losses": d_losses}
+
+
 # ---------------------------------------------------------------------------
 # Phase 4: RL (vmapped env collect + TD3 update in one jitted step)
 # ---------------------------------------------------------------------------
@@ -564,7 +624,8 @@ def make_joint_optimizer(cfg: JointTrainConfig):
 
 @functools.partial(jax.jit, static_argnames=("optimizer", "cfg",
                                              "compute_dtype", "spec",
-                                             "bidirectional"))
+                                             "bidirectional", "w_ae_recon",
+                                             "selective"))
 def joint_train_step(
     model: dict,
     opt_state,
@@ -576,12 +637,20 @@ def joint_train_step(
     compute_dtype=None,
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     bidirectional: bool = True,
+    w_ae_recon: float = 0.0,
+    selective: bool = False,
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """Joint fine-tune (reference train_joint_epoch,
     train_rl_gan_net.py:493-522): loss = Chamfer(decode(G(z)), complete) +
     0.1 * MSE(clean_gfv, noisy_gfv); z comes from the frozen actor (the
     reference computes it through numpy, so no gradient flows into the
-    agent there either). Trains encoder, decoder and generator."""
+    agent there either). Trains encoder, decoder and generator.
+
+    ``w_ae_recon`` > 0 adds w * Chamfer(decode(noisy_gfv), complete) —
+    the AE path the hybrid gate falls back on, which the reference's joint
+    loss silently degrades (its phase 5 makes the AE path *worse* than
+    phase 1's; runs/best/RESULTS.md). Both GFVs then ride one (2B, .)
+    decoder pass, so the extra term costs one decode, not two."""
     k_data, _ = jax.random.split(key)
     complete, incomplete, mask = pc_ops.make_training_batch(
         k_data, batch["complete_pc"], do_augment=True, spec=spec)
@@ -592,7 +661,12 @@ def joint_train_step(
     def loss_fn(tp):
         x_in = incomplete
         if compute_dtype is not None:
-            tp = _policy_cast(tp, compute_dtype)
+            if selective:
+                tp = {"ae": _policy_cast_ae_selective(tp["ae"],
+                                                      compute_dtype),
+                      "gen": _policy_cast(tp["gen"], compute_dtype)}
+            else:
+                tp = _policy_cast(tp, compute_dtype)
             x_in = incomplete.astype(compute_dtype)
         noisy_gfv, enc_state = ae.any_encoder_apply(
             tp["ae"]["encoder"], model["ae"]["state"]["encoder"],
@@ -603,14 +677,26 @@ def joint_train_step(
         z = jax.lax.stop_gradient(z)
         clean_gfv, gen_state = lg.generator_apply(
             tp["gen"], model["lgan"]["state"]["generator"], z, training=True)
-        completed, dec_state = ae.any_decoder_apply(
-            tp["ae"]["decoder"], model["ae"]["state"]["decoder"], clean_gfv,
-            training=True)
+        if w_ae_recon > 0.0:
+            bsz = clean_gfv.shape[0]
+            both, dec_state = ae.any_decoder_apply(
+                tp["ae"]["decoder"], model["ae"]["state"]["decoder"],
+                jnp.concatenate([clean_gfv, noisy_gfv], axis=0),
+                training=True)
+            completed, ae_recon = both[:bsz], both[bsz:]
+        else:
+            completed, dec_state = ae.any_decoder_apply(
+                tp["ae"]["decoder"], model["ae"]["state"]["decoder"],
+                clean_gfv, training=True)
         per = chamfer_ops.chamfer_distance(completed, complete,
                                            bidirectional=bidirectional)
         ch = _masked_mean(per, batch["pad"])
         gl = losses_ops.gfv_loss(clean_gfv, noisy_gfv)
         loss = ch + 0.1 * gl
+        if w_ae_recon > 0.0:
+            per_ae = chamfer_ops.chamfer_distance(
+                ae_recon, complete, bidirectional=bidirectional)
+            loss = loss + w_ae_recon * _masked_mean(per_ae, batch["pad"])
         return loss, (enc_state, gen_state, dec_state, ch, gl)
 
     (loss, (enc_s, gen_s, dec_s, ch, gl)), grads = jax.value_and_grad(
@@ -635,7 +721,8 @@ def joint_train_step(
 @functools.partial(jax.jit, static_argnames=("optimizer", "cfg",
                                              "compute_dtype",
                                              "batch_sharding", "spec",
-                                             "bidirectional"))
+                                             "bidirectional", "w_ae_recon",
+                                             "selective"))
 def joint_train_epoch_resident(
     model: dict,
     opt_state,
@@ -650,6 +737,8 @@ def joint_train_epoch_resident(
     batch_sharding=None,
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     bidirectional: bool = True,
+    w_ae_recon: float = 0.0,
+    selective: bool = False,
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """A whole joint fine-tune epoch as one compiled scan over a
     device-resident dataset (same pattern as ae_train_epoch_resident)."""
@@ -662,7 +751,8 @@ def joint_train_epoch_resident(
         mdl, o, m = joint_train_step.__wrapped__(
             mdl, o, batch, k, optimizer=optimizer, cfg=cfg,
             compute_dtype=compute_dtype, spec=spec,
-            bidirectional=bidirectional)
+            bidirectional=bidirectional, w_ae_recon=w_ae_recon,
+            selective=selective)
         return (mdl, o), m["loss"]
 
     keys = jax.random.split(key, order.shape[0])
@@ -671,16 +761,20 @@ def joint_train_epoch_resident(
     return model, opt_state, {"losses": losses}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "spec", "bidirectional"))
+@functools.partial(jax.jit, static_argnames=("cfg", "spec", "bidirectional",
+                                             "gate_mode", "gate_bias"))
 def joint_eval_step(model: dict, batch: Dict[str, Array], key, *,
                     cfg: rl.TD3Config,
                     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
-                    bidirectional: bool = True) -> Dict[str, Array]:
+                    bidirectional: bool = True,
+                    gate_mode: str = "discriminator",
+                    gate_bias: float = 0.0) -> Dict[str, Array]:
     """Validation through the full inference path with the hybrid gate
     (reference validate_joint, train_rl_gan_net.py:524-544)."""
     complete, incomplete, mask = pc_ops.make_training_batch(
         key, batch["complete_pc"], do_augment=False, spec=spec)
-    out = net.complete(model, incomplete, mask, cfg=cfg)
+    out = net.complete(model, incomplete, mask, cfg=cfg,
+                       gate_mode=gate_mode, gate_bias=gate_bias)
     per = chamfer_ops.chamfer_distance(out["hybrid_output"], complete,
                                        bidirectional=bidirectional)
     return {"loss": _masked_mean(per, batch["pad"])}

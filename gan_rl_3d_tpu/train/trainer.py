@@ -59,8 +59,12 @@ class RLGANNetTrainer:
         self.bidirectional = cfg.loss.bidirectional
         self.recon_loss = cfg.loss.reconstruction_loss
 
-        self.compute_dtype = (jnp.bfloat16 if cfg.training.precision
-                              in ("bfloat16", "bf16") else None)
+        precision = cfg.training.precision
+        self.compute_dtype = (jnp.bfloat16 if precision.startswith(
+            ("bfloat16", "bf16")) else None)
+        # "bf16_selective": bf16 matmuls/activations with an f32 decoder
+        # head (steps._policy_cast_ae_selective)
+        self.precision_selective = precision.endswith("_selective")
         # mesh: all devices data-parallel by default
         self.mesh = mesh_lib.make_mesh()
         self.key = jax.random.PRNGKey(cfg.training.seed)
@@ -75,6 +79,9 @@ class RLGANNetTrainer:
         self.epoch = 0
         self.current_phase = "autoencoder"
         self.gfvs: Optional[Dict[str, np.ndarray]] = None
+        # mid-phase resume bookkeeping: set by load_checkpoint, consumed by
+        # the phase whose name matches (see _restore_train_state)
+        self._resume: Optional[Dict[str, object]] = None
 
     # ------------------------------------------------------------------
     # data
@@ -134,16 +141,24 @@ class RLGANNetTrainer:
         bn_state = self.model["ae"]["state"]
         opt_state = optimizer.init(params)
         best_val = float("inf")
+        start_epoch = 0
+        rst = self._restore_train_state(
+            "autoencoder", {"opt_state": opt_state,
+                            "best_val": np.float32(0), "epoch": np.int32(0)})
+        if rst is not None:
+            opt_state = rst["opt_state"]
+            best_val = float(rst["best_val"])
+            start_epoch = int(rst["epoch"]) + 1
 
         eval_freq = max(self.config.evaluation.eval_frequency, 1)
         log_freq = max(self.config.logging.log_frequency, 1)
-        global_step = 0
+        global_step = start_epoch * len(self.train_loader)
         # the train split lives on device for the whole phase; per epoch
         # only the shuffled batch-index plan (a few KB) crosses the host
         # link, and the epoch runs as ONE compiled scan
         data_dev = jax.device_put(self.train_loader.dataset.as_array(),
                                   mesh_lib.replicated(self.mesh))
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             order, pads = self.train_loader.epoch_indices()
             params, bn_state, opt_state, m = steps.ae_train_epoch_resident(
@@ -153,7 +168,8 @@ class RLGANNetTrainer:
                 compute_dtype=self.compute_dtype,
                 batch_sharding=mesh_lib.batch_sharding(self.mesh),
                 spec=self.preproc, recon_loss=self.recon_loss,
-                bidirectional=self.bidirectional)
+                bidirectional=self.bidirectional,
+                selective=self.precision_selective)
             losses = np.asarray(m["losses"])
             for i, loss in enumerate(losses):
                 if (global_step + i) % log_freq == 0:
@@ -180,8 +196,11 @@ class RLGANNetTrainer:
                 best_val = val_loss
                 self.save_checkpoint("autoencoder_best", epoch, "autoencoder")
             if (epoch + 1) % self._save_freq == 0:
-                self.save_checkpoint(f"autoencoder_epoch_{epoch + 1}", epoch,
-                                     "autoencoder")
+                self.save_checkpoint(
+                    f"autoencoder_epoch_{epoch + 1}", epoch, "autoencoder",
+                    train_state={"opt_state": opt_state,
+                                 "best_val": np.float32(best_val),
+                                 "epoch": np.int32(epoch)})
         print(f"AE done; best val loss {best_val:.6f}")
         return best_val
 
@@ -253,12 +272,21 @@ class RLGANNetTrainer:
         g_opt_state = g_opt.init(lgan_params["generator"])
         d_opt_state = d_opt.init(lgan_params["discriminator"])
         best_g = float("inf")
+        start_epoch = 0
+        rst = self._restore_train_state(
+            "lgan", {"g_opt_state": g_opt_state, "d_opt_state": d_opt_state,
+                     "best_g": np.float32(0), "epoch": np.int32(0)})
+        if rst is not None:
+            g_opt_state = rst["g_opt_state"]
+            d_opt_state = rst["d_opt_state"]
+            best_g = float(rst["best_g"])
+            start_epoch = int(rst["epoch"]) + 1
         rng = np.random.RandomState(self.config.training.seed)
 
         n = len(gfvs)
         steps_per_epoch = max(n // bs, 1)
         d_steps = max(cfg.d_steps, 1)
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             order = rng.permutation(n)
             g_losses, d_losses = [], []
@@ -301,7 +329,12 @@ class RLGANNetTrainer:
             # every phase (the reference hardcodes 50/200/10 per phase,
             # train_rl_gan_net.py:367-369,446-448,488-489)
             if (epoch + 1) % self._save_freq == 0:
-                self.save_checkpoint(f"lgan_epoch_{epoch + 1}", epoch, "lgan")
+                self.save_checkpoint(
+                    f"lgan_epoch_{epoch + 1}", epoch, "lgan",
+                    train_state={"g_opt_state": g_opt_state,
+                                 "d_opt_state": d_opt_state,
+                                 "best_g": np.float32(best_g),
+                                 "epoch": np.int32(epoch)})
         self.save_checkpoint("lgan_final", num_epochs - 1, "lgan")
         print(f"LGAN done; best G loss {best_g:.6f}")
         return best_g
@@ -326,6 +359,17 @@ class RLGANNetTrainer:
         loss_cfg = self.config.loss
         best_avg = float("-inf")
         rewards_hist = []
+        start_it = 0
+        rst = self._restore_train_state(
+            "rl_agent", {"buffer": buffer, "ou": ou,
+                         "best_avg": np.float32(0), "it": np.int32(0)})
+        if rst is not None:
+            buffer = jax.tree.map(jnp.asarray, rst["buffer"])
+            ou = jnp.asarray(rst["ou"])
+            best_avg = float(rst["best_avg"])
+            start_it = int(rst["it"]) + 1
+            for _ in range(start_it):  # replay the data-sampling stream
+                rng.randint(0, len(data), size=envs)
 
         # fixed validation batch + fixed hole-cut key: greedy-policy reward
         # on it is the low-variance learning curve (steps.rl_eval_reward).
@@ -352,8 +396,8 @@ class RLGANNetTrainer:
                   f"{r:.4f}")
             return r
 
-        log_eval_reward(0)
-        for it in range(iters):
+        log_eval_reward(start_it * envs)
+        for it in range(start_it, iters):
             idx = rng.randint(0, len(data), size=envs)
             batch = {"complete_pc": data[idx],
                      "pad": np.zeros((envs,), np.float32)}
@@ -386,8 +430,11 @@ class RLGANNetTrainer:
                     best_avg = avg
                     self.save_checkpoint("rl_agent_best", episode, "rl_agent")
             if (it + 1) % self._save_freq == 0:
-                self.save_checkpoint(f"rl_agent_episode_{episode}", episode,
-                                     "rl_agent")
+                self.save_checkpoint(
+                    f"rl_agent_episode_{episode}", episode, "rl_agent",
+                    train_state={"buffer": buffer, "ou": ou,
+                                 "best_avg": np.float32(best_avg),
+                                 "it": np.int32(it)})
         self.save_checkpoint("rl_agent_final", num_episodes, "rl_agent")
         print(f"RL done; best avg reward {best_avg:.4f}")
         return best_avg
@@ -405,11 +452,19 @@ class RLGANNetTrainer:
             {"ae": self.model["ae"]["params"],
              "gen": self.model["lgan"]["params"]["generator"]})
         best_val = float("inf")
+        start_epoch = 0
+        rst = self._restore_train_state(
+            "joint", {"opt_state": opt_state, "best_val": np.float32(0),
+                      "epoch": np.int32(0)})
+        if rst is not None:
+            opt_state = rst["opt_state"]
+            best_val = float(rst["best_val"])
+            start_epoch = int(rst["epoch"]) + 1
 
         # device-resident data + one scan per epoch (see train_autoencoder)
         data_dev = jax.device_put(self.train_loader.dataset.as_array(),
                                   mesh_lib.replicated(self.mesh))
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             order, pads = self.train_loader.epoch_indices()
             self.model, opt_state, m = steps.joint_train_epoch_resident(
@@ -418,7 +473,9 @@ class RLGANNetTrainer:
                 self._next_key(), optimizer=optimizer, cfg=self.td3,
                 compute_dtype=self.compute_dtype,
                 batch_sharding=mesh_lib.batch_sharding(self.mesh),
-                spec=self.preproc, bidirectional=self.bidirectional)
+                spec=self.preproc, bidirectional=self.bidirectional,
+                w_ae_recon=cfg.w_ae_recon,
+                selective=self.precision_selective)
             train_loss = float(np.asarray(m["losses"]).mean())
 
             val_losses = []
@@ -427,7 +484,9 @@ class RLGANNetTrainer:
                 vm = steps.joint_eval_step(self.model, self._put(batch),
                                            jax.random.fold_in(vkey, i),
                                            cfg=self.td3, spec=self.preproc,
-                                           bidirectional=self.bidirectional)
+                                           bidirectional=self.bidirectional,
+                                           gate_mode=self.config.model.gate_mode,
+                                           gate_bias=self.config.model.gate_bias)
                 val_losses.append(vm["loss"])
             val_loss = float(jnp.mean(jnp.stack(val_losses)))
 
@@ -440,10 +499,80 @@ class RLGANNetTrainer:
                 best_val = val_loss
                 self.save_checkpoint("joint_best", epoch, "joint")
             if (epoch + 1) % self._save_freq == 0:
-                self.save_checkpoint(f"joint_epoch_{epoch + 1}", epoch,
-                                     "joint")
+                self.save_checkpoint(
+                    f"joint_epoch_{epoch + 1}", epoch, "joint",
+                    train_state={"opt_state": opt_state,
+                                 "best_val": np.float32(best_val),
+                                 "epoch": np.int32(epoch)})
         print(f"Joint done; best val loss {best_val:.6f}")
         return best_val
+
+    # ------------------------------------------------------------------
+    # phase 5.5: discriminator refresh + gate calibration (TPU additions —
+    # the fix for the reference design's stale post-joint hybrid gate)
+    # ------------------------------------------------------------------
+
+    def refresh_discriminator(self, num_steps: Optional[int] = None) -> float:
+        """Retrain the discriminator on the post-joint GFV distribution:
+        re-extract clean GFVs with the (fine-tuned) encoder, then run
+        ``num_steps`` WGAN-GP D updates with the generator frozen
+        (steps.lgan_d_refresh). Fixes the gate staleness the reference
+        design bakes in: its D is trained in phase 3 and never sees the
+        GFVs phase 5 produces (reference models/rl_gan_net.py:162-171
+        gates with that stale D)."""
+        cfg = self.config.training.joint
+        lgan_cfg = self.config.training.lgan
+        num_steps = num_steps or cfg.refresh_d_steps
+        print(f"\n=== PHASE 5.5a: discriminator refresh "
+              f"({num_steps} D steps) ===")
+        self.generate_gfvs()  # re-extract with the post-joint encoder
+        gfvs = self.gfvs["clean"]
+        bs = lgan_cfg.batch_size or self.config.training.batch_size
+        d_opt = steps.make_gan_optimizer(lgan_cfg.discriminator_lr, lgan_cfg)
+        d_opt_state = d_opt.init(self.model["lgan"]["params"]["discriminator"])
+        rng = np.random.RandomState(self.config.training.seed + 5)
+        idx = rng.randint(0, len(gfvs), size=(num_steps, bs))
+        real = jax.device_put(
+            jnp.asarray(gfvs[idx]),
+            jax.sharding.NamedSharding(
+                self.mesh,
+                jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)))
+        t0 = time.time()
+        lgan_params, lgan_state, _, m = steps.lgan_d_refresh(
+            self.model["lgan"]["params"], self.model["lgan"]["state"],
+            d_opt_state, real, self._next_key(), d_opt=d_opt,
+            lambda_gp=lgan_cfg.lambda_gp,
+            z_dim=self.config.model.lgan.z_dim)
+        self.model["lgan"] = {"params": lgan_params, "state": lgan_state}
+        d_losses = np.asarray(m["d_losses"])
+        print(f"D refresh done in {time.time() - t0:.1f}s: loss "
+              f"{d_losses[0]:.4f} -> {d_losses[-1]:.4f}")
+        self.logger.log_scalar("GAN/Refresh_D_Loss", float(d_losses[-1]), 0)
+        return float(d_losses[-1])
+
+    def calibrate_gate(self) -> Dict[str, object]:
+        """Sweep the hybrid gate's decision threshold on the val split and
+        persist the val-chamfer-minimising (gate_mode, gate_bias) as
+        ``gate_calibration.json`` next to the checkpoints (preferred by
+        evaluate.py / complete_clouds.py over the static config knobs)."""
+        from gan_rl_3d_tpu.train import gate as gate_lib
+
+        print("\n=== PHASE 5.5b: gate calibration (val split) ===")
+        stats = gate_lib.gate_statistics(
+            self.model, self.val_loader, self._put, jax.random.PRNGKey(2),
+            cfg=self.td3, spec=self.preproc,
+            bidirectional=self.bidirectional)
+        report = gate_lib.calibrate_gate(stats)
+        path = gate_lib.save_gate_calibration(str(self.checkpoint_dir),
+                                              report)
+        print(f"gate: mode={report['gate_mode']} "
+              f"bias={report['gate_bias']:.4f} "
+              f"val chamfer {report['val_chamfer_raw_gate']:.6f} (raw) -> "
+              f"{report['val_chamfer_calibrated']:.6f} (calibrated); "
+              f"paths rl {report['val_chamfer_rl']:.6f} / "
+              f"ae {report['val_chamfer_ae']:.6f}, "
+              f"oracle {report['oracle_chamfer']:.6f} -> {path}")
+        return report
 
     # ------------------------------------------------------------------
     # pipeline / checkpointing
@@ -468,15 +597,41 @@ class RLGANNetTrainer:
             self.train_rl_agent(t.rl_agent.episodes)
         if start_idx <= 3 and t.joint.enabled:
             self.joint_training(t.joint.epochs)
+            self.post_joint_refresh()
         print("\n=== TRAINING COMPLETE ===")
         self.save_checkpoint("final", self.epoch, "joint")
 
-    def save_checkpoint(self, name: str, epoch: int, phase: str):
+    def post_joint_refresh(self):
+        """Phase 5.5 when configured: D refresh + gate calibration on the
+        best joint model, saved as ``joint_calibrated`` (also what the
+        pipeline's ``final`` checkpoint then contains)."""
+        t = self.config.training.joint
+        if not (t.refresh_d_steps > 0 or t.calibrate_gate):
+            return
+        self.load_checkpoint("joint_best")
+        self._resume = None  # not a mid-phase resume
+        if t.refresh_d_steps > 0:
+            self.refresh_discriminator(t.refresh_d_steps)
+        if t.calibrate_gate:
+            self.calibrate_gate()
+        self.save_checkpoint("joint_calibrated", self.epoch, "joint")
+
+    def save_checkpoint(self, name: str, epoch: int, phase: str,
+                        train_state: Optional[dict] = None):
+        """Save the model bundle; with ``train_state`` also persist the
+        phase's optimizer moments (and RL buffer) as a ``_trainstate``
+        sibling so ``--resume`` continues the trajectory instead of
+        silently re-initialising them (the reference persists only the
+        agent's optimizers, rl_agent.py:369-381, and never restores
+        mid-phase)."""
         path = self.checkpoint_dir / name
         tree = {"model": self.model,
                 "meta": {"epoch": np.int32(epoch),
                          "phase_idx": np.int32(net.PHASES.index(phase))}}
         ckpt_lib.save_checkpoint(str(path), tree, use_orbax=self.use_orbax)
+        if train_state is not None:
+            ckpt_lib.save_checkpoint(str(path) + "_trainstate", train_state,
+                                     use_orbax=self.use_orbax)
 
     def load_checkpoint(self, name: str) -> Tuple[int, str]:
         path = self.checkpoint_dir / name
@@ -488,8 +643,27 @@ class RLGANNetTrainer:
         epoch = int(tree["meta"]["epoch"])
         phase = net.PHASES[int(tree["meta"]["phase_idx"])]
         self.current_phase = phase
+        self._resume = {"name": name, "phase": phase, "epoch": epoch}
         print(f"loaded checkpoint {path} (epoch {epoch}, phase {phase})")
         return epoch, phase
+
+    def _restore_train_state(self, phase: str,
+                             target: dict) -> Optional[dict]:
+        """When resuming into ``phase`` from a checkpoint that has a
+        ``_trainstate`` sibling, restore it against ``target`` (the freshly
+        initialised optimizer/buffer pytree — same structure). Consumed
+        once: later phases start their optimizers fresh, as they should."""
+        if not self._resume or self._resume["phase"] != phase:
+            return None
+        resume, self._resume = self._resume, None
+        path = self.checkpoint_dir / (str(resume["name"]) + "_trainstate")
+        if not ckpt_lib.checkpoint_exists(str(path)):
+            return None
+        state = ckpt_lib.load_checkpoint(str(path), target,
+                                         use_orbax=self.use_orbax)
+        print(f"restored {phase} train state from {path} "
+              f"(epoch {resume['epoch']})")
+        return state
 
     def close(self):
         self.logger.close()

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gan_rl_3d_tpu.config import Config
 from gan_rl_3d_tpu.models import autoencoder as ae
@@ -135,3 +136,35 @@ def test_engine_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(out1["hybrid_output"]),
                                np.asarray(out2["hybrid_output"]),
                                rtol=1e-6)
+
+
+def test_int8_engine_save_load_roundtrip(tmp_path):
+    """The quantized serving artifact (int8 arrays + scale tuples) must
+    survive save_engine/load_engine byte-exactly."""
+    config = Config()
+    model = net.init_model(jax.random.PRNGKey(6), config)
+    engine = inference.prepare_inference_engine(model, dtype=jnp.bfloat16,
+                                                quantize_int8=True)
+    path = str(tmp_path / "engine_q.pkl")
+    inference.save_engine(path, engine)
+    loaded = inference.load_engine(path)
+    assert "encoder_q" in loaded
+    pc = jax.random.normal(jax.random.PRNGKey(7), (2, 2048, 3))
+    out1 = inference.complete_fast(engine, pc, dtype=jnp.bfloat16)
+    out2 = inference.complete_fast(loaded, pc, dtype=jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out1["hybrid_output"], np.float32),
+        np.asarray(out2["hybrid_output"], np.float32), rtol=1e-6)
+
+
+def test_complete_fast_gate_mode_validated_without_hybrid():
+    """A typo'd gate_mode must fail loudly even when hybrid=False (it used
+    to pass silently because validation lived inside the hybrid branch)."""
+    config = Config()
+    model = net.init_model(jax.random.PRNGKey(6), config)
+    engine = inference.prepare_inference_engine(model, dtype=jnp.float32)
+    pc = jax.random.normal(jax.random.PRNGKey(7), (2, 2048, 3))
+    with pytest.raises(ValueError, match="gate_mode"):
+        inference.complete_fast(engine, pc, hybrid=False, gate_mode="rll")
+    with pytest.raises(ValueError, match="gate_mode"):
+        net.complete(model, pc, hybrid=False, gate_mode="rll")

@@ -165,6 +165,38 @@ def test_actor_warmup_delays_policy_updates():
         np.asarray(agent["critic1"]["params"]["state_fc"]["w"]), c0)
 
 
+def test_actor_lr_ramp_scales_early_updates():
+    """cfg.actor_lr_ramp: the first applied policy update moves the actor
+    by ~1/ramp of the constant-lr step (Adam normalises magnitudes, so
+    compare update norms directly); the ramp counter advances only on
+    applied updates and reaches full rate after `ramp` of them."""
+    key = jax.random.PRNGKey(22)
+    batch = rl.TransitionBatch(
+        states=jax.random.normal(key, (32, 128)),
+        actions=jnp.clip(jax.random.normal(key, (32, 1)), -1, 1),
+        rewards=jax.random.normal(key, (32, 1)),
+        next_states=jax.random.normal(key, (32, 128)),
+        dones=jnp.zeros((32, 1)),
+    )
+    update = jax.jit(rl.agent_update, static_argnames="cfg")
+
+    def first_update_norm(cfg):
+        agent = rl.agent_init(jax.random.PRNGKey(23), cfg)
+        w0 = np.asarray(
+            agent["actor"]["params"]["mlp"][0]["dense"]["w"]).copy()
+        for step in range(1, 3):  # policy_delay=2 -> update fires at step 2
+            agent, _ = update(agent, batch,
+                              jax.random.fold_in(key, step), cfg=cfg)
+        w = np.asarray(agent["actor"]["params"]["mlp"][0]["dense"]["w"])
+        return np.linalg.norm(w - w0)
+
+    base = first_update_norm(rl.TD3Config(policy_delay=2))
+    ramped = first_update_norm(rl.TD3Config(policy_delay=2,
+                                            actor_lr_ramp=10))
+    assert ramped < base * 0.25, (ramped, base)
+    assert ramped > 0.0
+
+
 def test_gate_modes():
     """model.gate_mode selects which path lands in hybrid_output:
     'rl' = decode(G(z_rl)), 'ae' = plain reconstruction, 'discriminator' =

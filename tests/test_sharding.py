@@ -265,3 +265,38 @@ def test_joint_step_tp4x2_matches_single_device():
     for a, b in zip(jax.tree.leaves(m1["ae"]["params"]),
                     jax.tree.leaves(m2["ae"]["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_process_local_slice_arithmetic():
+    """Per-process shard arithmetic for multi-host feeding: contiguous,
+    disjoint, covering, and rejecting uneven splits."""
+    import pytest
+
+    slices = [mesh_lib.process_local_slice(64, p, 4) for p in range(4)]
+    rows = np.arange(64)
+    chunks = [rows[s] for s in slices]
+    assert all(len(c) == 16 for c in chunks)
+    np.testing.assert_array_equal(np.concatenate(chunks), rows)
+    with pytest.raises(ValueError, match="divide evenly"):
+        mesh_lib.process_local_slice(30, 0, 4)
+    # defaults read the live process topology (single process here)
+    s = mesh_lib.process_local_slice(8)
+    assert (s.start, s.stop) == (0, 8)
+
+
+def test_shard_batch_process_local_matches_global():
+    """Single-process, process_local feeding must build the identical
+    global sharded array the plain path builds (the degenerate case the
+    multi-host path reduces to; docs/SCALING.md 'Extending beyond one
+    host')."""
+    mesh = mesh_lib.make_mesh()
+    batch = {"complete_pc": np.random.RandomState(0)
+             .randn(16, N_POINTS, 3).astype(np.float32),
+             "pad": np.zeros((16,), np.float32)}
+    local = {k: v[mesh_lib.process_local_slice(16)]
+             for k, v in batch.items()}
+    a = mesh_lib.shard_batch(mesh, batch)
+    b = mesh_lib.shard_batch(mesh, local, process_local=True)
+    for k in batch:
+        assert b[k].sharding.is_equivalent_to(a[k].sharding, a[k].ndim)
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))

@@ -204,6 +204,44 @@ def test_ae_step_bf16_policy(config, model):
     assert state["encoder"]["point_mlp"][0]["bn"]["mean"].dtype == jnp.float32
 
 
+def test_ae_step_bf16_selective_keeps_f32_head(config, model):
+    """bf16_selective: the step trains (loss falls), and with the f32
+    decoder head the emitted coordinates are f32 inside the loss — checked
+    via _policy_cast_ae_selective leaving the head untouched while the
+    rest casts."""
+    import jax.numpy as jnp
+    from gan_rl_3d_tpu.train.steps import _policy_cast_ae_selective
+
+    params = model["ae"]["params"]
+    cast = _policy_cast_ae_selective(params, jnp.bfloat16)
+    assert cast["decoder"]["mlp"][-1]["dense"]["w"].dtype == jnp.float32
+    assert cast["decoder"]["mlp"][0]["dense"]["w"].dtype == jnp.bfloat16
+    assert cast["encoder"]["point_mlp"][0]["dense"]["w"].dtype == jnp.bfloat16
+    # and the f32-head dense emits f32 from a bf16 input (dense_apply
+    # follows the weight dtype)
+    from gan_rl_3d_tpu import nn as nn_lib
+    x = jnp.ones((2, cast["decoder"]["mlp"][-1]["dense"]["w"].shape[0]),
+                 jnp.bfloat16)
+    y = nn_lib.dense_apply(cast["decoder"]["mlp"][-1]["dense"], x)
+    assert y.dtype == jnp.float32
+
+    cfg = config.training.autoencoder
+    opt = steps.make_ae_optimizer(cfg, steps_per_epoch=10)
+    state = model["ae"]["state"]
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(12)
+    batch = _batch(key)
+    losses = []
+    for i in range(20):
+        params, state, opt_state, m = steps.ae_train_step(
+            params, state, opt_state, batch, jax.random.fold_in(key, i),
+            optimizer=opt, augment=False, compute_dtype=jnp.bfloat16,
+            selective=True)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_lgan_combined_step_matches_sequential(config, model):
     """The fused d_steps+g program must behave like the sequential calls
     (same keys/batches -> same losses and params)."""

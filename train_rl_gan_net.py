@@ -54,6 +54,7 @@ def main():
                 trainer.train_rl_agent()
             elif args.phase == "joint":
                 trainer.joint_training()
+                trainer.post_joint_refresh()
             else:
                 trainer.train_full_pipeline(
                     start_phase=None if resumed else "autoencoder")
