@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Diagnostic: sweep the 1-d z action over [-1, 1] and measure the TRUE
+per-sample completion chamfer of decode(G(z)) on a fixed eval batch.
+
+Because the reference architecture's latent GAN takes a 1-d z
+(reference configs/config.yaml:47 z_dim: 1), the GAN path's outputs form a
+one-parameter family of shapes; the TD3 agent's whole job is picking the
+best point on that curve per input. This sweep exposes:
+
+* the best achievable GAN-path chamfer (per-sample oracle over z),
+* how much of that the trained agent captures,
+* how z* varies across inputs (if it barely varies, a constant z —
+  zero-z ablation — is near-optimal and the agent has little headroom).
+
+Usage: python benchmarks/z_sweep.py --config <cfg> --checkpoint <name>
+           [--num-z 41] [--batch 256]
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from gan_rl_3d_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--num-z", type=int, default=41)
+    parser.add_argument("--batch", type=int, default=256)
+    args = parser.parse_args()
+
+    from gan_rl_3d_tpu.config import load_config
+    from gan_rl_3d_tpu.models import rl_gan_net as net
+    from gan_rl_3d_tpu.ops import chamfer as chamfer_ops
+    from gan_rl_3d_tpu.ops import pointcloud as pc_ops
+    from gan_rl_3d_tpu.train import RLGANNetTrainer
+
+    config = load_config(args.config)
+    trainer = RLGANNetTrainer(config)
+    trainer.load_checkpoint(args.checkpoint)
+    model = trainer.model
+    td3 = trainer.td3
+
+    data = trainer.test_loader.dataset.as_array()
+    n = min(args.batch, len(data))
+    batch = jnp.asarray(data[:n])
+    complete, incomplete, mask = pc_ops.make_training_batch(
+        jax.random.PRNGKey(7), batch, do_augment=False,
+        spec=trainer.preproc)
+
+    @jax.jit
+    def chamfer_at_z(model, zval):
+        z = jnp.full((n, td3.action_dim), zval)
+        out = net.decode(model, net.generate(model, z))
+        return chamfer_ops.chamfer_distance(out, complete)
+
+    @jax.jit
+    def agent_outputs(model):
+        noisy = net.encode(model, incomplete, mask)
+        z_rl = net.select_z(model, noisy, td3)
+        out = net.decode(model, net.generate(model, z_rl))
+        return z_rl, chamfer_ops.chamfer_distance(out, complete)
+
+    zs = np.linspace(-td3.action_bound, td3.action_bound, args.num_z)
+    per_z = np.stack([np.asarray(chamfer_at_z(model, float(z)))
+                      for z in zs])                       # (Z, n)
+    z_rl, cd_rl = agent_outputs(model)
+    z_rl = np.asarray(z_rl).reshape(-1)
+    cd_rl = np.asarray(cd_rl)
+
+    best_iz = per_z.argmin(axis=0)                        # per-sample z*
+    oracle = per_z.min(axis=0)
+    best_const_iz = per_z.mean(axis=1).argmin()
+
+    print(f"samples: {n}; z grid: {args.num_z} points in "
+          f"[-{td3.action_bound}, {td3.action_bound}]")
+    print(f"per-sample oracle-z chamfer : {oracle.mean():.6f}")
+    print(f"best CONSTANT z ({zs[best_const_iz]:+.3f})   : "
+          f"{per_z.mean(axis=1).min():.6f}")
+    print(f"zero z                      : "
+          f"{per_z[np.abs(zs).argmin()].mean():.6f}")
+    print(f"agent z                     : {cd_rl.mean():.6f}")
+    print(f"agent captures "
+          f"{(per_z[np.abs(zs).argmin()].mean() - cd_rl.mean()) / max(per_z[np.abs(zs).argmin()].mean() - oracle.mean(), 1e-9) * 100:.1f}% "
+          f"of the zero-z -> oracle gap")
+    zstar = zs[best_iz]
+    print(f"z* spread across samples    : mean {zstar.mean():+.3f} "
+          f"std {zstar.std():.3f} (agent z: mean {z_rl.mean():+.3f} "
+          f"std {z_rl.std():.3f})")
+    print(f"corr(agent z, z*)           : "
+          f"{np.corrcoef(z_rl, zstar)[0, 1]:.3f}"
+          if zstar.std() > 1e-6 and z_rl.std() > 1e-6 else
+          "z* (or agent z) is constant — no per-sample signal to learn")
+    trainer.close()
+
+
+if __name__ == "__main__":
+    main()

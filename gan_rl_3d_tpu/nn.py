@@ -132,16 +132,21 @@ def batchnorm_apply(
     x32 = x.astype(jnp.float32)
     if training:
         axes = tuple(range(x.ndim - 1))
-        # Centered two-pass moments, deliberately. The single-pass
-        # E[x^2] - E[x]^2 form would save one full HBM read over the
-        # (B, N, C) activation per BN layer (measured: -9% on the whole AE
-        # train step, benchmarks/train_probe.py) but its cancellation
-        # amplifies partition-dependent reduction rounding ~10x, which
-        # breaks the sharded-vs-single-device trajectory equivalence the
-        # framework guarantees (tests/test_sharding.py saw 3-step loss
-        # divergence grow 1e-8 -> 3e-3). The centered form keeps the
-        # per-device partial sums small so every partitioning rounds to
-        # the same f32 result.
+        # Centered two-pass moments, deliberately. Every single-read
+        # variant tried saves one full HBM read over the (B, N, C)
+        # activation per BN layer (worth -9% on the whole AE train step)
+        # and every one breaks the sharded-vs-single-device trajectory
+        # equivalence this framework guarantees (tests/test_sharding.py):
+        #   * E[x^2]-E[x]^2 (round 2): 3-step loss divergence 1e-8 -> 3e-3
+        #   * shift by the RUNNING mean (round 3): degenerates to the
+        #     above at init, where that state is 0 — measured 2.5e-3
+        #   * shift by a partition-invariant batch-prefix sample mean
+        #     (round 3): the between-cloud mean variance leaves the shift
+        #     ~a std off, and the 3-step Adam trajectory amplifies the
+        #     var rounding to 5e-3
+        # See docs/PERF.md rejection #7 for the numbers. The centered form
+        # keeps the var-pass partials small and positive so every
+        # partitioning rounds alike.
         mean = jnp.mean(x32, axis=axes)
         var = jnp.mean(jnp.square(x32 - mean), axis=axes)
         n = x.size // x.shape[-1]
@@ -150,14 +155,17 @@ def batchnorm_apply(
             "mean": (1.0 - momentum) * state["mean"] + momentum * mean,
             "var": (1.0 - momentum) * state["var"] + momentum * unbiased,
         }
-    else:
-        mean, var = state["mean"], state["var"]
-        new_state = state
+        inv = jax.lax.rsqrt(var + eps)
+        scale32 = params["scale"].astype(jnp.float32)
+        bias32 = params["bias"].astype(jnp.float32)
+        y = (x32 - mean) * (inv * scale32) + bias32
+        return y.astype(x.dtype), new_state
+    mean, var = state["mean"], state["var"]
     inv = jax.lax.rsqrt(var + eps)
     scale32 = params["scale"].astype(jnp.float32)
     bias32 = params["bias"].astype(jnp.float32)
     y = (x32 - mean) * (inv * scale32) + bias32
-    return y.astype(x.dtype), new_state
+    return y.astype(x.dtype), state
 
 
 # ---------------------------------------------------------------------------
