@@ -59,15 +59,14 @@ class TD3Config(NamedTuple):
     # episodes, and even the primary architecture shows a transient
     # critic-misled dip at scale (runs/{variant,best2}/RESULTS.md).
     actor_warmup: int = 0
-    # TPU addition: after the warmup gate opens, ramp the actor lr
-    # linearly from ~0 up to actor_lr over this many *applied* policy
-    # updates (the ramp counter advances only when a delayed update
-    # actually fires). 0 = constant actor_lr (reference behaviour; also
-    # keeps the optimizer state structure of pre-ramp checkpoints).
-    # Motivation: the variant architecture's reward landscape needs a
-    # gentler policy-update onset than the primary's — warmup alone holds
-    # the collapse off but full-rate updates afterwards stay flat
-    # (runs/variant/RESULTS.md).
+    # TPU addition: after the warmup gate opens, ramp the effective actor
+    # lr linearly from ~0 up to actor_lr over this many applied policy
+    # updates (implemented as a post-Adam update scale keyed off the TD3
+    # step counter — see _actor_ramp_factor). 0 = constant actor_lr
+    # (reference behaviour). Motivation: the variant architecture's
+    # reward landscape needs a gentler policy-update onset than the
+    # primary's — warmup alone holds the collapse off but full-rate
+    # updates afterwards stay flat (runs/variant/RESULTS.md).
     actor_lr_ramp: int = 0
     action_bound: float = 1.0
     # OU noise process (rl_agent.py:169-192)
@@ -179,16 +178,24 @@ def ou_step(key, ou_state: Array, cfg: TD3Config) -> Array:
 
 
 def _optims(cfg: TD3Config):
-    if cfg.actor_lr_ramp > 0:
-        ramp = float(cfg.actor_lr_ramp)
+    return (optax.adam(cfg.actor_lr), optax.adam(cfg.critic_lr),
+            optax.adam(cfg.critic_lr))
 
-        def actor_schedule(count):
-            return cfg.actor_lr * jnp.clip((count + 1.0) / ramp, 0.0, 1.0)
 
-        opt_a = optax.adam(learning_rate=actor_schedule)
-    else:
-        opt_a = optax.adam(cfg.actor_lr)
-    return (opt_a, optax.adam(cfg.critic_lr), optax.adam(cfg.critic_lr))
+def _actor_ramp_factor(step, cfg: TD3Config):
+    """Warmup-then-ramp actor lr multiplier, derived from the TD3 step
+    counter so the optimizer-state STRUCTURE stays identical to the
+    constant-lr agent (an optax schedule would add a count leaf and break
+    restore of every pre-ramp checkpoint). Applied to the post-Adam
+    update, which is exactly lr scaling. ``applied`` approximates the
+    number of policy updates fired since the warmup gate opened
+    (policy_delay cadence)."""
+    if cfg.actor_lr_ramp <= 0:
+        return jnp.float32(1.0)
+    applied = jnp.maximum(step.astype(jnp.float32) - cfg.actor_warmup,
+                          0.0) / max(cfg.policy_delay, 1)
+    return jnp.clip(applied / float(cfg.actor_lr_ramp),
+                    1.0 / float(cfg.actor_lr_ramp), 1.0)
 
 
 def agent_init(key, cfg: TD3Config) -> dict:
@@ -330,6 +337,8 @@ def agent_update(agent: dict, batch: TransitionBatch, key,
                 agent["actor"]["params"], agent["actor"]["state"])
         upd, new_opt = opt_a.update(ga, agent["opt"]["actor"],
                                     agent["actor"]["params"])
+        ramp = _actor_ramp_factor(step, cfg)
+        upd = jax.tree.map(lambda u: u * ramp, upd)
         a_params = optax.apply_updates(agent["actor"]["params"], upd)
         new_targets = {
             "actor_target": {

@@ -589,24 +589,33 @@ def rl_eval_reward(
     w_gfv: float = 10.0,
     w_discriminator: float = 0.01,
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
-) -> Array:
-    """Greedy (no exploration noise) single-step reward on a fixed batch —
-    the learning-curve metric the training-time reward can't provide: the
+) -> Dict[str, Array]:
+    """Greedy (no exploration noise) single-step eval on a fixed batch —
+    the learning-curve metrics the training-time reward can't provide: the
     per-iteration `rl_step` reward is computed on a different random batch
     with OU noise each time, so its variance (~±1.5 at quick-config reward
     scale) swamps the policy's actual progress. Called by the trainer on
-    one fixed validation batch every eval interval and logged as
-    RL/Eval_Reward. The reference has no counterpart (its phase 4 crashes;
+    one fixed validation batch every eval interval; logged as
+    RL/Eval_Reward AND RL/Eval_Chamfer. The chamfer curve exists because
+    the composite reward can be anti-correlated with completion quality —
+    its w_gfv term scores how close G(z) lands to the NOISY GFV, which is
+    not the goal — and masked a genuinely-learning agent on the variant
+    architecture (benchmarks/z_sweep.py: agent z 28% better chamfer than
+    zero z while the reward curve declined; runs/variant/RESULTS.md). The
+    reference has no counterpart (its phase 4 crashes;
     train_rl_gan_net.py:422-437 logs only the noisy training reward)."""
     complete, incomplete, mask = pc_ops.make_training_batch(
         key, batch["complete_pc"], do_augment=False, spec=spec)
     env0 = net.env_reset(model, incomplete, complete, mask)
     action, _ = rl.select_action(model["agent"], env0.state, cfg,
                                  add_noise=False)
-    _, rewards, _, _ = net.env_step(
+    _, rewards, _, info = net.env_step(
         model, env0, action, w_chamfer=w_chamfer, w_gfv=w_gfv,
         w_discriminator=w_discriminator)
-    return _masked_mean(rewards, batch["pad"])
+    per_cd = chamfer_ops.chamfer_distance(info["completed_pc"],
+                                          env0.target_pc)
+    return {"reward": _masked_mean(rewards, batch["pad"]),
+            "chamfer": _masked_mean(per_cd, batch["pad"])}
 
 
 # ---------------------------------------------------------------------------

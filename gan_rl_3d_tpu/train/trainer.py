@@ -373,27 +373,35 @@ class RLGANNetTrainer:
 
         # fixed validation batch + fixed hole-cut key: greedy-policy reward
         # on it is the low-variance learning curve (steps.rl_eval_reward).
-        # Wrap-pad to a multiple of the mesh's data axis (padded rows carry
-        # pad=1 and are excluded from the metric by _masked_mean).
+        # Rows are sampled EVENLY ACROSS the val split — the split is
+        # sorted by path, so taking the first 64 yields a single-category
+        # batch whose curve can contradict the full-split result (seen on
+        # the variant: the eval-batch chamfer declined while the agent's z
+        # beat zero-z by 24% on the full test split). Wrap-pad to a
+        # multiple of the mesh's data axis (padded rows carry pad=1 and
+        # are excluded from the metric by _masked_mean).
         val_data = self.val_loader.dataset.as_array()
         n_real = int(min(64, len(val_data)))
+        spread = np.linspace(0, len(val_data) - 1, n_real).astype(np.int64)
         n_data = self.mesh.shape.get("data", 1) if self.mesh else 1
         n_eval = -(-n_real // n_data) * n_data
-        idx = np.arange(n_eval) % n_real
+        idx = spread[np.arange(n_eval) % n_real]
         pad = (np.arange(n_eval) >= n_real).astype(np.float32)
         eval_batch = self._put({"complete_pc": val_data[idx], "pad": pad})
         eval_key = jax.random.PRNGKey(777)
         eval_every = max(1, iters // 20)
 
         def log_eval_reward(episode):
-            r = float(steps.rl_eval_reward(
+            m = steps.rl_eval_reward(
                 self.model, eval_batch, eval_key, cfg=self.td3,
                 w_chamfer=loss_cfg.w_chamfer, w_gfv=loss_cfg.w_gfv,
                 w_discriminator=loss_cfg.w_discriminator,
-                spec=self.preproc))
+                spec=self.preproc)
+            r, cd = float(m["reward"]), float(m["chamfer"])
             self.logger.log_scalar("RL/Eval_Reward", r, episode)
+            self.logger.log_scalar("RL/Eval_Chamfer", cd, episode)
             print(f"  eval reward (greedy, fixed batch) @ep {episode}: "
-                  f"{r:.4f}")
+                  f"{r:.4f}  chamfer {cd:.4f}")
             return r
 
         log_eval_reward(start_it * envs)

@@ -323,12 +323,15 @@ def test_rl_eval_reward_greedy_and_deterministic(config, model):
                                               (8, N_POINTS, 3)),
              "pad": jnp.zeros((8,))}
 
-    r1 = float(steps.rl_eval_reward(model, batch, key, cfg=td3))
-    r2 = float(steps.rl_eval_reward(model, batch, key, cfg=td3))
-    assert r1 == r2
+    m1 = steps.rl_eval_reward(model, batch, key, cfg=td3)
+    m2 = steps.rl_eval_reward(model, batch, key, cfg=td3)
+    r1 = float(m1["reward"])
+    assert r1 == float(m2["reward"])
     assert np.isfinite(r1)
+    assert np.isfinite(float(m1["chamfer"])) and float(m1["chamfer"]) > 0
 
     # manual greedy rollout with the same fixed hole-cut key
+    from gan_rl_3d_tpu.ops import chamfer as chamfer_ops
     from gan_rl_3d_tpu.ops import pointcloud as pc_ops
 
     complete, incomplete, mask = pc_ops.make_training_batch(
@@ -336,5 +339,7 @@ def test_rl_eval_reward_greedy_and_deterministic(config, model):
     env0 = net.env_reset(model, incomplete, complete, mask)
     action, _ = rl.select_action(model["agent"], env0.state, td3,
                                  add_noise=False)
-    _, rewards, _, _ = net.env_step(model, env0, action)
+    _, rewards, _, info = net.env_step(model, env0, action)
     assert np.isclose(r1, float(jnp.mean(rewards)), rtol=1e-5)
+    cd = chamfer_ops.chamfer_distance(info["completed_pc"], complete)
+    assert np.isclose(float(m1["chamfer"]), float(jnp.mean(cd)), rtol=1e-5)
