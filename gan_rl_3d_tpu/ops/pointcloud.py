@@ -15,6 +15,7 @@ utils/dataset.py:399-421), and a validity mask marks the real points.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -174,7 +175,8 @@ def augment(
 # ---------------------------------------------------------------------------
 
 
-def _keep_reorder(pc: Array, score: Array, n_keep: Array) -> Tuple[Array, Array]:
+def _keep_reorder(pc: Array, score: Array, n_keep: Array,
+                  fill_passes: int = 1) -> Tuple[Array, Array]:
     """Keep the n_keep lowest-score points, sorted to the front; fill the
     tail by repeating kept points. Returns (pc_out, mask).
 
@@ -183,18 +185,23 @@ def _keep_reorder(pc: Array, score: Array, n_keep: Array) -> Tuple[Array, Array]
     vs 19.6 ms for either a 2-operand (score, iota) sort or argsort
     followed by a batched row gather; TPU batched gathers serialise badly,
     so carrying payloads through the sort network wins 3.5x. The tail
-    fill is a dynamic roll. For i >=
-    n_keep, roll(sorted, n_keep)[i] == sorted[i - n_keep] == sorted[i %
-    n_keep] because the kept fraction is always >= 1/2 — identical to
-    cyclic repeat-padding."""
+    fill is ``fill_passes`` dynamic rolls: each pass p makes slots
+    i < (p+1)*n_keep equal sorted[i mod n_keep] (cyclic repeat-padding),
+    so a single pass suffices whenever the kept fraction is >= 1/2 and
+    ceil(1/keep_fraction) - 1 passes suffice in general. ``fill_passes``
+    must be a static (Python int) bound; the caller derives it from the
+    static max hole ratio so the standard 20-50% spec compiles to the
+    original single-roll program."""
     n = pc.shape[0]
     _, sx, sy, sz = jax.lax.sort(
         (score, pc[:, 0], pc[:, 1], pc[:, 2]), num_keys=1)
     sorted_pc = jnp.stack([sx, sy, sz], axis=1)
     ranks = jnp.arange(n)
     keep = ranks < n_keep
-    out = jnp.where(keep[:, None], sorted_pc,
-                    jnp.roll(sorted_pc, n_keep, axis=0))
+    out = sorted_pc
+    for _ in range(max(1, fill_passes)):
+        out = jnp.where(keep[:, None], sorted_pc,
+                        jnp.roll(out, n_keep, axis=0))
     return out, keep.astype(pc.dtype)
 
 
@@ -215,11 +222,13 @@ def cut_holes(
     flags the genuinely observed points.
     """
     n = pc.shape[0]
-    if not 0.0 <= min_ratio <= max_ratio <= 0.5:
-        # the roll-based tail fill in _keep_reorder requires keep >= 1/2
+    if not 0.0 <= min_ratio <= max_ratio <= 0.95:
         raise ValueError(
-            f"hole ratios must satisfy 0 <= min <= max <= 0.5, got "
+            f"hole ratios must satisfy 0 <= min <= max <= 0.95, got "
             f"({min_ratio}, {max_ratio})")
+    # static roll count for the repeat-padding tail fill: keep fraction is
+    # at least 1 - max_ratio, so this many passes always complete the fill
+    fill_passes = int(math.ceil(1.0 / (1.0 - max_ratio))) - 1 or 1
     k_ratio, k_method, k_rand, k_center, k_normal = jax.random.split(key, 5)
     ratio = jax.random.uniform(k_ratio, (), jnp.float32, min_ratio, max_ratio)
     n_keep = jnp.floor(n * (1.0 - ratio)).astype(jnp.int32)
@@ -243,7 +252,7 @@ def cut_holes(
             raise ValueError(f"unknown hole method {m!r}")
     method_idx = jax.random.randint(k_method, (), 0, len(scores))
     score = jnp.select([method_idx == i for i in range(len(scores))], scores)
-    return _keep_reorder(pc, score, n_keep)
+    return _keep_reorder(pc, score, n_keep, fill_passes=fill_passes)
 
 
 def make_training_pair(

@@ -55,7 +55,7 @@ def main():
         -np.inf if report["gate_mode"] == "rl" else np.inf)
     hybrid = np.where(margin > t, cd_rl, cd_ae)
     raw = np.where(margin > 0, cd_rl, cd_ae)
-    print("\n== severe-hole (50-80%) TEST, %d clouds ==" % len(margin))
+    print(f"\n== severe-hole (50-80%) TEST, {len(margin)} clouds ==")
     print(f"  calibrated hybrid : {hybrid.mean():.6f} "
           f"(mode={report['gate_mode']}, bias={report['gate_bias']:.4f})")
     print(f"  raw gate (bias 0) : {raw.mean():.6f}")

@@ -62,6 +62,26 @@ def test_cut_holes_shapes_and_mask():
     assert all(tuple(p) in orig for p in kept)
 
 
+def test_cut_holes_severe_ratio_tail_fill():
+    # keep fraction < 1/2 needs the multi-pass repeat-padding tail fill
+    x = jnp.asarray(np.random.RandomState(7).randn(256, 3).astype(np.float32))
+    orig = {tuple(p) for p in np.asarray(x)}
+    for seed in range(8):
+        out, mask = pc.cut_holes(jax.random.PRNGKey(seed), x,
+                                 min_ratio=0.5, max_ratio=0.8)
+        m = np.asarray(mask)
+        n_keep = int(m.sum())
+        assert 0.2 * 256 <= n_keep <= 0.5 * 256 + 1
+        assert (m[:n_keep] == 1).all() and (m[n_keep:] == 0).all()
+        kept = np.asarray(out)[:n_keep]
+        kept_set = {tuple(p) for p in kept}
+        # every kept point is an original point and EVERY tail slot is a
+        # repeat of a kept point (the single-roll fill would leave dropped
+        # points in slots >= 2*n_keep)
+        assert all(tuple(p) in orig for p in kept)
+        assert all(tuple(p) in kept_set for p in np.asarray(out)[n_keep:])
+
+
 def test_make_training_batch_jits():
     key = jax.random.PRNGKey(4)
     x = jnp.asarray(np.random.RandomState(4).randn(8, 128, 3).astype(np.float32))
