@@ -113,15 +113,19 @@ def bench_train_step(bsz: int = 1024, iters: int = 10,
     o = opt.init(p)
     name = "bf16" if compute_dtype is not None else "f32"
 
+    bn_stats = config.training.bn_stats
+
     p, s, o, m = steps.ae_train_step(p, s, o, batch, key, optimizer=opt,
-                                     compute_dtype=compute_dtype)
+                                     compute_dtype=compute_dtype,
+                                     bn_stats=bn_stats)
     _ = float(m["loss"])  # warm + sync
     t0 = time.perf_counter()
     for i in range(iters):
         p, s, o, m = steps.ae_train_step(p, s, o, batch,
                                          jax.random.fold_in(key, i),
                                          optimizer=opt,
-                                         compute_dtype=compute_dtype)
+                                         compute_dtype=compute_dtype,
+                                         bn_stats=bn_stats)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     rate = bsz / dt

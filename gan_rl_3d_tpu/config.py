@@ -140,7 +140,25 @@ class TrainingConfig:
     #                       coordinate head, which stays f32 (the layer
     #                       where bf16 rounding hurt quality —
     #                       runs/bf16/RESULTS.md, docs/PERF.md)
+    #   "bf16_selective2" — bf16_selective plus f32 input coordinates and
+    #                       an f32 first encoder layer: bf16's ~0.4%
+    #                       relative error on unit-sphere coordinates is
+    #                       the same order as the chamfer scores, so the
+    #                       geometry enters and leaves the network in f32
+    #                       and only the feature trunk runs bf16
     precision: str = "float32"
+    # Training-mode BatchNorm statistics (nn.batchnorm_apply):
+    #   "single_read_grouped" — both moments in ONE read of the
+    #                           activation with a shard-aligned grouped
+    #                           reduction: measured 8.4% faster AE step
+    #                           (207 -> 191 ms at B=1024) and MORE
+    #                           partition-invariant than centered
+    #                           (benchmarks/bn_stats_probe.py), so it is
+    #                           the default — docs/PERF.md #7
+    #   "centered"            — two-pass E[(x-mean)^2] escape hatch;
+    #                           required if a data mesh has >8 shards
+    #                           (group/shard alignment — see nn.py)
+    bn_stats: str = "single_read_grouped"
     seed: int = 42
     batch_size: int = 32
     num_workers: int = 4
@@ -151,6 +169,17 @@ class TrainingConfig:
     lgan: LGANTrainConfig = field(default_factory=LGANTrainConfig)
     rl_agent: RLTrainConfig = field(default_factory=RLTrainConfig)
     joint: JointTrainConfig = field(default_factory=JointTrainConfig)
+
+    def __post_init__(self):
+        if self.precision not in ("float32", "f32", "bfloat16", "bf16",
+                                  "bf16_selective", "bf16_selective2"):
+            raise ValueError(
+                f"training.precision must be one of float32/bfloat16/"
+                f"bf16_selective/bf16_selective2, got {self.precision!r}")
+        if self.bn_stats not in ("centered", "single_read_grouped"):
+            raise ValueError(
+                f"training.bn_stats must be 'centered' or "
+                f"'single_read_grouped', got {self.bn_stats!r}")
 
 
 @dataclass(frozen=True)

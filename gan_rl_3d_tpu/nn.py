@@ -24,6 +24,7 @@ tests/test_torch_parity.py):
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Callable, Tuple
 
@@ -110,6 +111,81 @@ def batchnorm_init(dim: int, dtype=jnp.float32) -> Tuple[dict, dict]:
     return params, state
 
 
+# Training-mode BN statistics policy. "centered" is the guaranteed-safe
+# two-pass form (see the comment inside batchnorm_apply). "single_read_grouped"
+# computes both moments in ONE read of the activation, with the reduction
+# shard-ALIGNED so the sharded-vs-single-device equivalence guarantee
+# survives the E[x^2]-mean^2 cancellation that killed the three naive
+# single-read variants (docs/PERF.md rejection #7): the reduced axes are
+# reshaped into _BN_GROUPS fixed groups that coincide with the data-mesh
+# shards, each group is reduced locally (same compiled slab reduction in
+# both partitionings), and the (G, C) partials are combined in a fixed
+# sequential Neumaier-compensated order both programs execute identically.
+#
+# The mode is trace-time static. It is threaded through the deep model call
+# stacks via this module-level context instead of a kwarg on every apply
+# function; the ONLY safe place to set it is inside a jitted function that
+# carries the mode as a static argument (train/steps.py does), so the jit
+# cache key always reflects it.
+_BN_STATS_MODE = "centered"
+_BN_STATS_MODES = ("centered", "single_read_grouped")
+# Group count for the shard-aligned reduction. Alignment (and therefore the
+# equivalence guarantee) holds when the data-mesh batch shards divide the
+# groups evenly — i.e. 1/2/4/8 data shards with G=8. A mesh with MORE than
+# 8 data shards would split groups across devices and reintroduce
+# partition-dependent rounding: use bn_stats="centered" there (config
+# documents this), or raise G to the device count.
+_BN_GROUPS = 8
+
+
+@contextlib.contextmanager
+def bn_stats_mode(mode: str):
+    """Trace-time BN statistics policy switch (see _BN_STATS_MODE above)."""
+    if mode not in _BN_STATS_MODES:
+        raise ValueError(f"bn_stats must be one of {_BN_STATS_MODES}, "
+                         f"got {mode!r}")
+    global _BN_STATS_MODE
+    prev = _BN_STATS_MODE
+    _BN_STATS_MODE = mode
+    try:
+        yield
+    finally:
+        _BN_STATS_MODE = prev
+
+
+def _neumaier_combine(parts: Array) -> Array:
+    """Sum the leading axis of ``parts`` (G, C) in a fixed sequential order
+    with Neumaier compensation. G is static and small, so the unrolled
+    chain is a handful of VPU ops on tiny arrays; under data-parallel
+    sharding XLA gathers the 2 KB of partials and every device runs the
+    identical chain. Algebraically this is an exact sum, so autodiff
+    gives the correct gradient (1 per partial) without a custom VJP."""
+    s = parts[0]
+    c = jnp.zeros_like(s)
+    for i in range(1, parts.shape[0]):
+        p = parts[i]
+        t = s + p
+        c = c + jnp.where(jnp.abs(s) >= jnp.abs(p), (s - t) + p, (p - t) + s)
+        s = t
+    return s + c
+
+
+def _grouped_moments(x32: Array) -> Tuple[Array, Array]:
+    """(mean, biased var) over all but the last axis, one read, shard-aligned
+    (requires leading dim divisible by _BN_GROUPS — caller checks)."""
+    ch = x32.shape[-1]
+    n = x32.size // ch
+    xg = x32.reshape(_BN_GROUPS, n // _BN_GROUPS, ch)
+    # XLA multi-output-fuses the two reductions into one pass over xg
+    s_g = jnp.sum(xg, axis=1)
+    q_g = jnp.sum(xg * xg, axis=1)
+    total = _neumaier_combine(s_g)
+    total_sq = _neumaier_combine(q_g)
+    mean = total / n
+    var = jnp.maximum(total_sq / n - mean * mean, 0.0)
+    return mean, var
+
+
 def batchnorm_apply(
     params: dict,
     state: dict,
@@ -132,23 +208,32 @@ def batchnorm_apply(
     x32 = x.astype(jnp.float32)
     if training:
         axes = tuple(range(x.ndim - 1))
-        # Centered two-pass moments, deliberately. Every single-read
-        # variant tried saves one full HBM read over the (B, N, C)
-        # activation per BN layer (worth -9% on the whole AE train step)
-        # and every one breaks the sharded-vs-single-device trajectory
-        # equivalence this framework guarantees (tests/test_sharding.py):
-        #   * E[x^2]-E[x]^2 (round 2): 3-step loss divergence 1e-8 -> 3e-3
-        #   * shift by the RUNNING mean (round 3): degenerates to the
-        #     above at init, where that state is 0 — measured 2.5e-3
-        #   * shift by a partition-invariant batch-prefix sample mean
-        #     (round 3): the between-cloud mean variance leaves the shift
-        #     ~a std off, and the 3-step Adam trajectory amplifies the
-        #     var rounding to 5e-3
-        # See docs/PERF.md rejection #7 for the numbers. The centered form
-        # keeps the var-pass partials small and positive so every
-        # partitioning rounds alike.
-        mean = jnp.mean(x32, axis=axes)
-        var = jnp.mean(jnp.square(x32 - mean), axis=axes)
+        if (_BN_STATS_MODE == "single_read_grouped"
+                and x.shape[0] % _BN_GROUPS == 0):
+            # One fused read for both moments, shard-aligned grouping +
+            # compensated fixed-order combine — see _grouped_moments.
+            mean, var = _grouped_moments(x32)
+        else:
+            # Centered two-pass moments, the guaranteed-safe default.
+            # Every NAIVE single-read variant tried saves one full HBM
+            # read over the (B, N, C) activation per BN layer (worth -9%
+            # on the whole AE train step) and every one breaks the
+            # sharded-vs-single-device trajectory equivalence this
+            # framework guarantees (tests/test_sharding.py):
+            #   * E[x^2]-E[x]^2 (round 2): 3-step loss divergence
+            #     1e-8 -> 3e-3
+            #   * shift by the RUNNING mean (round 3): degenerates to the
+            #     above at init, where that state is 0 — measured 2.5e-3
+            #   * shift by a partition-invariant batch-prefix sample mean
+            #     (round 3): the between-cloud mean variance leaves the
+            #     shift ~a std off, and the 3-step Adam trajectory
+            #     amplifies the var rounding to 5e-3
+            # See docs/PERF.md rejection #7 for the numbers. The centered
+            # form keeps the var-pass partials small and positive so every
+            # partitioning rounds alike; "single_read_grouped" instead
+            # makes the partitionings round IDENTICALLY by construction.
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.mean(jnp.square(x32 - mean), axis=axes)
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {

@@ -20,6 +20,7 @@ import optax
 
 from gan_rl_3d_tpu.config import (AETrainConfig, JointTrainConfig,
                                   LGANTrainConfig)
+from gan_rl_3d_tpu import nn
 from gan_rl_3d_tpu.models import autoencoder as ae
 from gan_rl_3d_tpu.models import latent_gan as lg
 from gan_rl_3d_tpu.models import rl_agent as rl
@@ -78,26 +79,36 @@ def _policy_cast(tree, dtype):
     return jax.tree.map(lambda v: v.astype(dtype), tree)
 
 
-def _policy_cast_ae_selective(tree, dtype):
+def _policy_cast_ae_selective(tree, dtype, keep_first=False):
     """Selective mixed precision for an AE params tree: bf16 everywhere
     except the decoder's final (coordinate-emitting) head layer, which
     stays f32 — dense_apply then promotes the head's bf16 input and the
     predicted coordinates feed the Chamfer loss in f32. Motivated by
     runs/bf16/RESULTS.md: the uniform bf16 policy is 1.55x faster but
     measurably worse at equal epochs; the head is where coordinate
-    rounding bites."""
+    rounding bites.
+
+    ``keep_first`` (the "bf16_selective2" recipe) additionally keeps the
+    encoder's FIRST point-MLP layer f32. Together with skipping the input
+    cast, the raw coordinates then reach the first matmul unquantized:
+    bf16 has ~0.4% relative error, which on unit-sphere coordinates is the
+    same order as the chamfer scores being optimised (~0.02)."""
     cast = _policy_cast(tree, dtype)
     if "decoder" in tree and "mlp" in tree["decoder"]:
         mlp = list(cast["decoder"]["mlp"])
         mlp[-1] = tree["decoder"]["mlp"][-1]
         cast = dict(cast, decoder=dict(cast["decoder"], mlp=mlp))
+    if keep_first and "encoder" in tree and "point_mlp" in tree["encoder"]:
+        pm = list(cast["encoder"]["point_mlp"])
+        pm[0] = tree["encoder"]["point_mlp"][0]
+        cast = dict(cast, encoder=dict(cast["encoder"], point_mlp=pm))
     return cast
 
 
 @functools.partial(jax.jit, static_argnames=("optimizer", "augment",
                                              "compute_dtype", "spec",
                                              "recon_loss", "bidirectional",
-                                             "selective"))
+                                             "selective", "bn_stats"))
 def ae_train_step(
     params: dict,
     bn_state: dict,
@@ -111,7 +122,8 @@ def ae_train_step(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     recon_loss: str = "chamfer",
     bidirectional: bool = True,
-    selective: bool = False,
+    selective: int = 0,
+    bn_stats: str = "centered",
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """One AE step: on-device hole-cutting/augment -> forward -> Chamfer
     (incomplete -> complete, SURVEY §3.2) -> Adam.
@@ -126,11 +138,16 @@ def ae_train_step(
     def loss_fn(p):
         x_in = incomplete
         if compute_dtype is not None:
-            p = (_policy_cast_ae_selective(p, compute_dtype) if selective
-                 else _policy_cast(p, compute_dtype))
-            x_in = incomplete.astype(compute_dtype)
-        (recon, _gfv), new_state = ae.autoencoder_apply(
-            p, bn_state, x_in, mask, training=True)
+            p = (_policy_cast_ae_selective(p, compute_dtype,
+                                           keep_first=selective >= 2)
+                 if selective else _policy_cast(p, compute_dtype))
+            if not selective >= 2:
+                # selective2 feeds f32 coordinates into the f32 first
+                # layer; the other policies quantize the input
+                x_in = incomplete.astype(compute_dtype)
+        with nn.bn_stats_mode(bn_stats):
+            (recon, _gfv), new_state = ae.autoencoder_apply(
+                p, bn_state, x_in, mask, training=True)
         per = _recon_loss(recon, complete, recon_loss=recon_loss,
                           bidirectional=bidirectional)
         return _masked_mean(per, batch["pad"]), new_state
@@ -162,7 +179,7 @@ def ae_eval_step(params: dict, bn_state: dict, batch: Dict[str, Array],
 @functools.partial(jax.jit, static_argnames=("optimizer", "augment",
                                              "compute_dtype", "spec",
                                              "recon_loss", "bidirectional",
-                                             "selective"))
+                                             "selective", "bn_stats"))
 def ae_train_epoch(
     params: dict,
     bn_state: dict,
@@ -176,7 +193,8 @@ def ae_train_epoch(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     recon_loss: str = "chamfer",
     bidirectional: bool = True,
-    selective: bool = False,
+    selective: int = 0,
+    bn_stats: str = "centered",
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """A whole epoch of AE steps as one compiled program (lax.scan over the
     step axis). Per-step host dispatch dominates epoch wall time at this
@@ -190,7 +208,8 @@ def ae_train_epoch(
         p, s, o, m = ae_train_step.__wrapped__(
             p, s, o, batch, k, optimizer=optimizer, augment=augment,
             compute_dtype=compute_dtype, spec=spec, recon_loss=recon_loss,
-            bidirectional=bidirectional, selective=selective)
+            bidirectional=bidirectional, selective=selective,
+            bn_stats=bn_stats)
         return (p, s, o), m["loss"]
 
     n_steps = epoch_batches["complete_pc"].shape[0]
@@ -222,7 +241,7 @@ def _shard_gathered_batch(batch, batch_sharding):
                                              "compute_dtype",
                                              "batch_sharding", "spec",
                                              "recon_loss", "bidirectional",
-                                             "selective"))
+                                             "selective", "bn_stats"))
 def ae_train_epoch_resident(
     params: dict,
     bn_state: dict,
@@ -239,7 +258,8 @@ def ae_train_epoch_resident(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     recon_loss: str = "chamfer",
     bidirectional: bool = True,
-    selective: bool = False,
+    selective: int = 0,
+    bn_stats: str = "centered",
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """AE epoch over a device-resident dataset: the host sends only the
     shuffled index matrix per epoch (S, B) int32 — a few KB — instead of
@@ -260,7 +280,8 @@ def ae_train_epoch_resident(
         p, s, o, m = ae_train_step.__wrapped__(
             p, s, o, batch, k, optimizer=optimizer, augment=augment,
             compute_dtype=compute_dtype, spec=spec, recon_loss=recon_loss,
-            bidirectional=bidirectional, selective=selective)
+            bidirectional=bidirectional, selective=selective,
+            bn_stats=bn_stats)
         return (p, s, o), m["loss"]
 
     keys = jax.random.split(key, order.shape[0])
@@ -634,7 +655,7 @@ def make_joint_optimizer(cfg: JointTrainConfig):
 @functools.partial(jax.jit, static_argnames=("optimizer", "cfg",
                                              "compute_dtype", "spec",
                                              "bidirectional", "w_ae_recon",
-                                             "selective"))
+                                             "selective", "bn_stats"))
 def joint_train_step(
     model: dict,
     opt_state,
@@ -647,7 +668,8 @@ def joint_train_step(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     bidirectional: bool = True,
     w_ae_recon: float = 0.0,
-    selective: bool = False,
+    selective: int = 0,
+    bn_stats: str = "centered",
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """Joint fine-tune (reference train_joint_epoch,
     train_rl_gan_net.py:493-522): loss = Chamfer(decode(G(z)), complete) +
@@ -671,32 +693,36 @@ def joint_train_step(
         x_in = incomplete
         if compute_dtype is not None:
             if selective:
-                tp = {"ae": _policy_cast_ae_selective(tp["ae"],
-                                                      compute_dtype),
+                tp = {"ae": _policy_cast_ae_selective(
+                          tp["ae"], compute_dtype,
+                          keep_first=selective >= 2),
                       "gen": _policy_cast(tp["gen"], compute_dtype)}
             else:
                 tp = _policy_cast(tp, compute_dtype)
-            x_in = incomplete.astype(compute_dtype)
-        noisy_gfv, enc_state = ae.any_encoder_apply(
-            tp["ae"]["encoder"], model["ae"]["state"]["encoder"],
-            x_in, mask, training=True)
-        z, _ = rl.actor_apply(model["agent"]["actor"]["params"],
-                              model["agent"]["actor"]["state"],
-                              noisy_gfv, cfg=cfg, training=False)
-        z = jax.lax.stop_gradient(z)
-        clean_gfv, gen_state = lg.generator_apply(
-            tp["gen"], model["lgan"]["state"]["generator"], z, training=True)
-        if w_ae_recon > 0.0:
-            bsz = clean_gfv.shape[0]
-            both, dec_state = ae.any_decoder_apply(
-                tp["ae"]["decoder"], model["ae"]["state"]["decoder"],
-                jnp.concatenate([clean_gfv, noisy_gfv], axis=0),
+            if not selective >= 2:
+                x_in = incomplete.astype(compute_dtype)
+        with nn.bn_stats_mode(bn_stats):
+            noisy_gfv, enc_state = ae.any_encoder_apply(
+                tp["ae"]["encoder"], model["ae"]["state"]["encoder"],
+                x_in, mask, training=True)
+            z, _ = rl.actor_apply(model["agent"]["actor"]["params"],
+                                  model["agent"]["actor"]["state"],
+                                  noisy_gfv, cfg=cfg, training=False)
+            z = jax.lax.stop_gradient(z)
+            clean_gfv, gen_state = lg.generator_apply(
+                tp["gen"], model["lgan"]["state"]["generator"], z,
                 training=True)
-            completed, ae_recon = both[:bsz], both[bsz:]
-        else:
-            completed, dec_state = ae.any_decoder_apply(
-                tp["ae"]["decoder"], model["ae"]["state"]["decoder"],
-                clean_gfv, training=True)
+            if w_ae_recon > 0.0:
+                bsz = clean_gfv.shape[0]
+                both, dec_state = ae.any_decoder_apply(
+                    tp["ae"]["decoder"], model["ae"]["state"]["decoder"],
+                    jnp.concatenate([clean_gfv, noisy_gfv], axis=0),
+                    training=True)
+                completed, ae_recon = both[:bsz], both[bsz:]
+            else:
+                completed, dec_state = ae.any_decoder_apply(
+                    tp["ae"]["decoder"], model["ae"]["state"]["decoder"],
+                    clean_gfv, training=True)
         per = chamfer_ops.chamfer_distance(completed, complete,
                                            bidirectional=bidirectional)
         ch = _masked_mean(per, batch["pad"])
@@ -731,7 +757,7 @@ def joint_train_step(
                                              "compute_dtype",
                                              "batch_sharding", "spec",
                                              "bidirectional", "w_ae_recon",
-                                             "selective"))
+                                             "selective", "bn_stats"))
 def joint_train_epoch_resident(
     model: dict,
     opt_state,
@@ -747,7 +773,8 @@ def joint_train_epoch_resident(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     bidirectional: bool = True,
     w_ae_recon: float = 0.0,
-    selective: bool = False,
+    selective: int = 0,
+    bn_stats: str = "centered",
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """A whole joint fine-tune epoch as one compiled scan over a
     device-resident dataset (same pattern as ae_train_epoch_resident)."""
@@ -761,7 +788,7 @@ def joint_train_epoch_resident(
             mdl, o, batch, k, optimizer=optimizer, cfg=cfg,
             compute_dtype=compute_dtype, spec=spec,
             bidirectional=bidirectional, w_ae_recon=w_ae_recon,
-            selective=selective)
+            selective=selective, bn_stats=bn_stats)
         return (mdl, o), m["loss"]
 
     keys = jax.random.split(key, order.shape[0])

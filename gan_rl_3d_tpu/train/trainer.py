@@ -63,8 +63,14 @@ class RLGANNetTrainer:
         self.compute_dtype = (jnp.bfloat16 if precision.startswith(
             ("bfloat16", "bf16")) else None)
         # "bf16_selective": bf16 matmuls/activations with an f32 decoder
-        # head (steps._policy_cast_ae_selective)
-        self.precision_selective = precision.endswith("_selective")
+        # head; "bf16_selective2" additionally keeps the input coordinates
+        # and the encoder's first layer f32 (steps._policy_cast_ae_selective)
+        self.precision_selective = (
+            2 if precision.endswith("_selective2")
+            else 1 if precision.endswith("_selective") else 0)
+        # BN training statistics: "centered" (safe default) or the
+        # shard-aligned one-HBM-read "single_read_grouped" (nn.py)
+        self.bn_stats = cfg.training.bn_stats
         # mesh: all devices data-parallel by default
         self.mesh = mesh_lib.make_mesh()
         self.key = jax.random.PRNGKey(cfg.training.seed)
@@ -169,7 +175,8 @@ class RLGANNetTrainer:
                 batch_sharding=mesh_lib.batch_sharding(self.mesh),
                 spec=self.preproc, recon_loss=self.recon_loss,
                 bidirectional=self.bidirectional,
-                selective=self.precision_selective)
+                selective=self.precision_selective,
+                bn_stats=self.bn_stats)
             losses = np.asarray(m["losses"])
             for i, loss in enumerate(losses):
                 if (global_step + i) % log_freq == 0:
@@ -483,7 +490,8 @@ class RLGANNetTrainer:
                 batch_sharding=mesh_lib.batch_sharding(self.mesh),
                 spec=self.preproc, bidirectional=self.bidirectional,
                 w_ae_recon=cfg.w_ae_recon,
-                selective=self.precision_selective)
+                selective=self.precision_selective,
+                bn_stats=self.bn_stats)
             train_loss = float(np.asarray(m["losses"]).mean())
 
             val_losses = []

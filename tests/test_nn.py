@@ -52,6 +52,52 @@ def test_batchnorm_matches_torch(shape):
     np.testing.assert_allclose(np.asarray(y_eval), yt_eval, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("shape", [(8, 16), (8, 100, 16)])
+def test_batchnorm_single_read_grouped_matches_torch(shape):
+    """The one-HBM-read grouped BN statistics (nn.bn_stats_mode) must stay
+    within torch-parity tolerance of torch's batch stats — same gate the
+    default centered mode passes."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(*shape).astype(np.float32) * 2.0 + 0.5
+    params, state = nn.batchnorm_init(16)
+
+    bn = torch.nn.BatchNorm1d(16)
+    bn.train()
+    xt = torch.from_numpy(x if x.ndim == 2 else x.transpose(0, 2, 1))
+    yt = bn(xt).detach().numpy()
+    if x.ndim == 3:
+        yt = yt.transpose(0, 2, 1)
+
+    with nn.bn_stats_mode("single_read_grouped"):
+        y, new_state = nn.batchnorm_apply(params, state, jnp.asarray(x),
+                                          training=True)
+    np.testing.assert_allclose(np.asarray(y), yt, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["mean"]),
+                               bn.running_mean.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_state["var"]),
+                               bn.running_var.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_batchnorm_grouped_falls_back_when_unaligned():
+    """Batch not divisible by _BN_GROUPS must silently use the centered
+    path (identical numerics to the default mode)."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(6, 16).astype(np.float32))
+    params, state = nn.batchnorm_init(16)
+    y_ref, st_ref = nn.batchnorm_apply(params, state, x, training=True)
+    with nn.bn_stats_mode("single_read_grouped"):
+        y, st = nn.batchnorm_apply(params, state, x, training=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+    np.testing.assert_array_equal(np.asarray(st["var"]),
+                                  np.asarray(st_ref["var"]))
+
+
+def test_bn_stats_mode_rejects_unknown():
+    with pytest.raises(ValueError):
+        with nn.bn_stats_mode("bogus"):
+            pass
+
+
 def test_layernorm_matches_torch():
     rng = np.random.RandomState(2)
     x = rng.randn(4, 16).astype(np.float32)

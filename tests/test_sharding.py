@@ -67,6 +67,44 @@ def test_ae_step_dp8_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
 
 
+def test_ae_step_dp8_matches_single_device_single_read_bn():
+    """The shard-aligned single-read BN statistics (bn_stats=
+    "single_read_grouped") must preserve the same sharded-vs-single-device
+    trajectory equivalence the centered default guarantees — this is the
+    property that killed the three naive single-read variants
+    (docs/PERF.md #7); the grouped+compensated form is built to pass it."""
+    config = load_config(None, overrides=OVERRIDES)
+    model = net.init_model(jax.random.PRNGKey(0), config)
+    opt = steps.make_ae_optimizer(config.training.autoencoder, 10)
+    params = model["ae"]["params"]
+    state = model["ae"]["state"]
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(1)
+    batch = {"complete_pc": jax.random.normal(key, (16, N_POINTS, 3)),
+             "pad": jnp.zeros((16,))}
+
+    def run_steps(p, s, o, b, n=3):
+        losses = []
+        for i in range(n):
+            p, s, o, m = steps.ae_train_step(
+                p, s, o, b, jax.random.fold_in(key, i), optimizer=opt,
+                augment=False, bn_stats="single_read_grouped")
+            losses.append(float(m["loss"]))
+        return p, losses
+
+    p1, losses1 = run_steps(params, state, opt_state, batch)
+    mesh = mesh_lib.make_mesh()
+    p8, losses8 = run_steps(
+        jax.device_put(params, mesh_lib.replicated(mesh)),
+        jax.device_put(state, mesh_lib.replicated(mesh)),
+        jax.device_put(opt_state, mesh_lib.replicated(mesh)),
+        mesh_lib.shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(losses8, losses1, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
 def test_tensor_parallel_placement():
     """With a model axis, big kernels shard along it."""
     config = load_config(None, overrides=OVERRIDES)
