@@ -93,6 +93,17 @@ def main():
 
     opt = steps.make_ae_optimizer(config.training.autoencoder, 100)
     o = opt.init(p)
+
+    # optimizer in isolation (attributes the "optimizer + rest" residue:
+    # FULL - preprocess - grads - this = program-boundary overlap the
+    # separate-program stage timings can't see)
+    import optax
+    grads = f_grad(p)
+    f_opt = jax.jit(lambda g, o_, p_: optax.apply_updates(
+        p_, opt.update(g, o_, p_)[0]))
+    dt = timed(f_opt, grads, o, p)
+    print(f"optimizer update+apply:     {dt*1e3:8.2f} ms", flush=True)
+
     full = lambda p_, s_, o_, b, k: steps.ae_train_step(
         p_, s_, o_, b, k, optimizer=opt)
     dt = timed(full, p, s, o, batch, key)

@@ -137,15 +137,12 @@ class TrainingConfig:
     #   "bfloat16"/"bf16" — bf16 matmuls/activations, f32 master weights +
     #                       BN stats + loss
     #   "bf16_selective" — bf16 everywhere except the decoder's final
-    #                       coordinate head, which stays f32 (the layer
-    #                       where bf16 rounding hurt quality —
-    #                       runs/bf16/RESULTS.md, docs/PERF.md)
-    #   "bf16_selective2" — bf16_selective plus f32 input coordinates and
-    #                       an f32 first encoder layer: bf16's ~0.4%
-    #                       relative error on unit-sphere coordinates is
-    #                       the same order as the chamfer scores, so the
-    #                       geometry enters and leaves the network in f32
-    #                       and only the feature trunk runs bf16
+    #                       coordinate head AND the encoder's final
+    #                       (GFV-bottleneck) layer, both f32. Measured at
+    #                       f32 quality (0.0238 vs 0.0244 val chamfer at
+    #                       equal epochs) with ~1.4x the f32 step speed —
+    #                       the GFV layer was where bf16 rounding hurt
+    #                       (runs/bf16/RESULTS.md, docs/PERF.md reject #6)
     precision: str = "float32"
     # Training-mode BatchNorm statistics (nn.batchnorm_apply):
     #   "single_read_grouped" — both moments in ONE read of the
@@ -172,10 +169,10 @@ class TrainingConfig:
 
     def __post_init__(self):
         if self.precision not in ("float32", "f32", "bfloat16", "bf16",
-                                  "bf16_selective", "bf16_selective2"):
+                                  "bf16_selective"):
             raise ValueError(
                 f"training.precision must be one of float32/bfloat16/"
-                f"bf16_selective/bf16_selective2, got {self.precision!r}")
+                f"bf16_selective, got {self.precision!r}")
         if self.bn_stats not in ("centered", "single_read_grouped"):
             raise ValueError(
                 f"training.bn_stats must be 'centered' or "

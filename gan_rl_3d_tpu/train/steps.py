@@ -79,28 +79,29 @@ def _policy_cast(tree, dtype):
     return jax.tree.map(lambda v: v.astype(dtype), tree)
 
 
-def _policy_cast_ae_selective(tree, dtype, keep_first=False):
+def _policy_cast_ae_selective(tree, dtype):
     """Selective mixed precision for an AE params tree: bf16 everywhere
-    except the decoder's final (coordinate-emitting) head layer, which
-    stays f32 — dense_apply then promotes the head's bf16 input and the
-    predicted coordinates feed the Chamfer loss in f32. Motivated by
-    runs/bf16/RESULTS.md: the uniform bf16 policy is 1.55x faster but
-    measurably worse at equal epochs; the head is where coordinate
-    rounding bites.
+    except (a) the decoder's final (coordinate-emitting) head layer and
+    (b) the encoder's final point-MLP layer — the one whose max-pooled
+    output IS the 128-d GFV bottleneck every decoder weight consumes.
+    dense_apply promotes the f32 layers' bf16 inputs, so the GFV and the
+    predicted coordinates stay unquantized and the Chamfer loss runs f32.
 
-    ``keep_first`` (the "bf16_selective2" recipe) additionally keeps the
-    encoder's FIRST point-MLP layer f32. Together with skipping the input
-    cast, the raw coordinates then reach the first matmul unquantized:
-    bf16 has ~0.4% relative error, which on unit-sphere coordinates is the
-    same order as the chamfer scores being optimised (~0.02)."""
+    The recipe is the winner of a measured ladder (flagship data, 20 AE
+    epochs, best val chamfer — benchmarks/bf16_recipe_probe.py):
+      f32 0.0244 | uniform bf16 0.0404 | +f32 decoder head 0.0384 |
+      +f32 input & first encoder layer 0.0377 | +f32 GFV layer 0.0238.
+    The train-loss gap (0.030 f32 vs 0.042 bf16) closes exactly when the
+    GFV layer is f32: the damage was optimization noise injected at the
+    bottleneck, not coordinate representation — docs/PERF.md reject #6."""
     cast = _policy_cast(tree, dtype)
     if "decoder" in tree and "mlp" in tree["decoder"]:
         mlp = list(cast["decoder"]["mlp"])
         mlp[-1] = tree["decoder"]["mlp"][-1]
         cast = dict(cast, decoder=dict(cast["decoder"], mlp=mlp))
-    if keep_first and "encoder" in tree and "point_mlp" in tree["encoder"]:
+    if "encoder" in tree and "point_mlp" in tree["encoder"]:
         pm = list(cast["encoder"]["point_mlp"])
-        pm[0] = tree["encoder"]["point_mlp"][0]
+        pm[-1] = tree["encoder"]["point_mlp"][-1]
         cast = dict(cast, encoder=dict(cast["encoder"], point_mlp=pm))
     return cast
 
@@ -122,7 +123,7 @@ def ae_train_step(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     recon_loss: str = "chamfer",
     bidirectional: bool = True,
-    selective: int = 0,
+    selective: bool = False,
     bn_stats: str = "centered",
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """One AE step: on-device hole-cutting/augment -> forward -> Chamfer
@@ -138,13 +139,9 @@ def ae_train_step(
     def loss_fn(p):
         x_in = incomplete
         if compute_dtype is not None:
-            p = (_policy_cast_ae_selective(p, compute_dtype,
-                                           keep_first=selective >= 2)
-                 if selective else _policy_cast(p, compute_dtype))
-            if not selective >= 2:
-                # selective2 feeds f32 coordinates into the f32 first
-                # layer; the other policies quantize the input
-                x_in = incomplete.astype(compute_dtype)
+            p = (_policy_cast_ae_selective(p, compute_dtype) if selective
+                 else _policy_cast(p, compute_dtype))
+            x_in = incomplete.astype(compute_dtype)
         with nn.bn_stats_mode(bn_stats):
             (recon, _gfv), new_state = ae.autoencoder_apply(
                 p, bn_state, x_in, mask, training=True)
@@ -193,7 +190,7 @@ def ae_train_epoch(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     recon_loss: str = "chamfer",
     bidirectional: bool = True,
-    selective: int = 0,
+    selective: bool = False,
     bn_stats: str = "centered",
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """A whole epoch of AE steps as one compiled program (lax.scan over the
@@ -258,7 +255,7 @@ def ae_train_epoch_resident(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     recon_loss: str = "chamfer",
     bidirectional: bool = True,
-    selective: int = 0,
+    selective: bool = False,
     bn_stats: str = "centered",
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """AE epoch over a device-resident dataset: the host sends only the
@@ -668,7 +665,7 @@ def joint_train_step(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     bidirectional: bool = True,
     w_ae_recon: float = 0.0,
-    selective: int = 0,
+    selective: bool = False,
     bn_stats: str = "centered",
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """Joint fine-tune (reference train_joint_epoch,
@@ -693,14 +690,12 @@ def joint_train_step(
         x_in = incomplete
         if compute_dtype is not None:
             if selective:
-                tp = {"ae": _policy_cast_ae_selective(
-                          tp["ae"], compute_dtype,
-                          keep_first=selective >= 2),
+                tp = {"ae": _policy_cast_ae_selective(tp["ae"],
+                                                      compute_dtype),
                       "gen": _policy_cast(tp["gen"], compute_dtype)}
             else:
                 tp = _policy_cast(tp, compute_dtype)
-            if not selective >= 2:
-                x_in = incomplete.astype(compute_dtype)
+            x_in = incomplete.astype(compute_dtype)
         with nn.bn_stats_mode(bn_stats):
             noisy_gfv, enc_state = ae.any_encoder_apply(
                 tp["ae"]["encoder"], model["ae"]["state"]["encoder"],
@@ -773,7 +768,7 @@ def joint_train_epoch_resident(
     spec: pc_ops.PreprocSpec = pc_ops.DEFAULT_PREPROC,
     bidirectional: bool = True,
     w_ae_recon: float = 0.0,
-    selective: int = 0,
+    selective: bool = False,
     bn_stats: str = "centered",
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """A whole joint fine-tune epoch as one compiled scan over a

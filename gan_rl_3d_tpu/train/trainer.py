@@ -62,12 +62,9 @@ class RLGANNetTrainer:
         precision = cfg.training.precision
         self.compute_dtype = (jnp.bfloat16 if precision.startswith(
             ("bfloat16", "bf16")) else None)
-        # "bf16_selective": bf16 matmuls/activations with an f32 decoder
-        # head; "bf16_selective2" additionally keeps the input coordinates
-        # and the encoder's first layer f32 (steps._policy_cast_ae_selective)
-        self.precision_selective = (
-            2 if precision.endswith("_selective2")
-            else 1 if precision.endswith("_selective") else 0)
+        # "bf16_selective": bf16 matmuls/activations with f32 decoder head
+        # + f32 encoder GFV layer (steps._policy_cast_ae_selective)
+        self.precision_selective = precision.endswith("_selective")
         # BN training statistics: "centered" (safe default) or the
         # shard-aligned one-HBM-read "single_read_grouped" (nn.py)
         self.bn_stats = cfg.training.bn_stats

@@ -216,6 +216,9 @@ def test_ae_step_bf16_selective_keeps_f32_head(config, model):
     cast = _policy_cast_ae_selective(params, jnp.bfloat16)
     assert cast["decoder"]["mlp"][-1]["dense"]["w"].dtype == jnp.float32
     assert cast["decoder"]["mlp"][0]["dense"]["w"].dtype == jnp.bfloat16
+    # the encoder's final (GFV-bottleneck) layer stays f32 too — the
+    # recipe's load-bearing half (benchmarks/bf16_recipe_probe.py ladder)
+    assert cast["encoder"]["point_mlp"][-1]["dense"]["w"].dtype == jnp.float32
     assert cast["encoder"]["point_mlp"][0]["dense"]["w"].dtype == jnp.bfloat16
     # and the f32-head dense emits f32 from a bf16 input (dense_apply
     # follows the weight dtype)
