@@ -104,11 +104,43 @@ def main():
     dt = timed(f_opt, grads, o, p)
     print(f"optimizer update+apply:     {dt*1e3:8.2f} ms", flush=True)
 
-    full = lambda p_, s_, o_, b, k: steps.ae_train_step(
-        p_, s_, o_, b, k, optimizer=opt)
-    dt = timed(full, p, s, o, batch, key)
-    print(f"FULL ae_train_step:         {dt*1e3:8.2f} ms  "
-          f"({bsz/dt:,.0f} clouds/s)", flush=True)
+    # Fused boundary programs: localize the residue (FULL minus the sum of
+    # the separate stages). If preprocess+grads fused ~= their separate sum,
+    # the preprocess->grads boundary is free; whatever remains sits in the
+    # grads program itself when its inputs are runtime tensors instead of
+    # the baked-in constants the isolated f_grad closure enjoys.
+    def pre_grads(p_, k, x):
+        comp, inc, msk = pc_ops.make_training_batch(
+            k, x, do_augment=True, spec=spec)
+
+        def lf(pp):
+            (r, _g), ns = ae.autoencoder_apply(pp, s, inc, msk, training=True)
+            return chamfer_ops.chamfer_distance(r, comp).mean(), ns
+        return jax.value_and_grad(lf, has_aux=True)(p_)[1]
+
+    f_pg = jax.jit(pre_grads)
+    dt = timed(f_pg, p, key, pc)
+    print(f"preprocess+grads (fused):   {dt*1e3:8.2f} ms", flush=True)
+
+    def grads_args(p_, inc, msk, comp):
+        def lf(pp):
+            (r, _g), ns = ae.autoencoder_apply(pp, s, inc, msk, training=True)
+            return chamfer_ops.chamfer_distance(r, comp).mean(), ns
+        return jax.value_and_grad(lf, has_aux=True)(p_)[1]
+
+    f_ga = jax.jit(grads_args)
+    dt = timed(f_ga, p, incomplete, mask, complete)
+    print(f"grads (runtime inputs):     {dt*1e3:8.2f} ms", flush=True)
+
+    bn_stats = config.training.bn_stats
+    for bs_name in ("centered", bn_stats):
+        full = lambda p_, s_, o_, b, k: steps.ae_train_step(
+            p_, s_, o_, b, k, optimizer=opt, bn_stats=bs_name)
+        dt = timed(full, p, s, o, batch, key)
+        print(f"FULL ae_train_step ({bs_name}): {dt*1e3:8.2f} ms  "
+              f"({bsz/dt:,.0f} clouds/s)", flush=True)
+        if bs_name == bn_stats:
+            break
 
 
 if __name__ == "__main__":
