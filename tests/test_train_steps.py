@@ -346,3 +346,56 @@ def test_rl_eval_reward_greedy_and_deterministic(config, model):
     assert np.isclose(r1, float(jnp.mean(rewards)), rtol=1e-5)
     cd = chamfer_ops.chamfer_distance(info["completed_pc"], complete)
     assert np.isclose(float(m1["chamfer"]), float(jnp.mean(cd)), rtol=1e-5)
+
+
+def test_zdim_multi_dimensional_action_space():
+    """z_dim/action_dim > 1 (the beyond-parity ablation, runs/zdim) flows
+    through the LGAN, the RL env/update, and the composite pipeline with
+    correct shapes. The reference pins z_dim=1 (configs/config.yaml:16);
+    every step here must stay shape-generic in it."""
+    overrides = dict(SMALL)
+    overrides["model"] = dict(SMALL["model"])
+    overrides["model"]["lgan"] = {"z_dim": 8}
+    overrides["model"]["rl_agent"] = {"action_dim": 8, "batch_size": 16}
+    config = load_config(None, overrides=overrides)
+    model = net.init_model(jax.random.PRNGKey(0), config)
+    td3 = config.td3_config()
+    assert td3.action_dim == 8
+    key = jax.random.PRNGKey(3)
+    batch = _batch(key)
+
+    # LGAN D+G steps at z_dim=8
+    gfv = jax.random.normal(key, (16, config.model.lgan.latent_dim))
+    lcfg = config.training.lgan
+    d_opt = steps.make_gan_optimizer(lcfg.discriminator_lr, lcfg)
+    g_opt = steps.make_gan_optimizer(lcfg.generator_lr, lcfg)
+    lp, ls = model["lgan"]["params"], model["lgan"]["state"]
+    d_state, g_state = (d_opt.init(lp["discriminator"]),
+                        g_opt.init(lp["generator"]))
+    lp, ls, d_state, dm = steps.lgan_d_step(
+        lp, ls, d_state, gfv, key, d_opt=d_opt,
+        lambda_gp=lcfg.lambda_gp, z_dim=config.model.lgan.z_dim)
+    lp, ls, g_state, gm = steps.lgan_generator_step(
+        lp, ls, g_state, key, g_opt=g_opt, batch_size=16,
+        z_dim=config.model.lgan.z_dim)
+    assert np.isfinite(float(dm["d_loss"])) and np.isfinite(float(gm["g_loss"]))
+
+    # RL env + TD3 update at action_dim=8
+    buffer = rb.buffer_init(256, td3.state_dim, td3.action_dim)
+    ou = rl.ou_init(td3, (8,))
+    assert ou.shape == (8, 8)
+    m = model
+    for i in range(3):
+        m, buffer, ou, metrics = steps.rl_step(
+            m, buffer, ou, _batch(jax.random.fold_in(key, i)),
+            jax.random.fold_in(key, 10 + i), cfg=td3,
+            start_training_size=16)
+    assert np.asarray(buffer.actions).shape[1] == 8
+    assert int(m["agent"]["step"]) > 0
+    assert np.isfinite(float(metrics["reward"]))
+
+    # composite completion pipeline
+    out = net.complete(m, batch["complete_pc"], cfg=td3)
+    assert out["z_vector"].shape == (8, 8)
+    assert out["hybrid_output"].shape == batch["complete_pc"].shape
+    assert np.isfinite(np.asarray(out["hybrid_output"])).all()
