@@ -94,11 +94,14 @@ def bench_completion(batch_sizes=(4096, 8192), iters: int = 15) -> float:
 
 
 def bench_train_step(bsz: int = 1024, iters: int = 10,
-                     compute_dtype=None) -> float:
+                     compute_dtype=None, selective: bool = False) -> float:
     """Clouds/sec through the jitted AE train step (forward + Chamfer +
     backward + Adam) so training-perf regressions show up in the scored
     artifact, not just benchmarks/train_bench.py. ``compute_dtype=bf16``
-    measures the mixed-precision policy (training.precision: bfloat16)."""
+    measures the mixed-precision policy (training.precision: bfloat16);
+    ``selective=True`` additionally keeps the GFV-bottleneck and decoder
+    head f32 (training.precision: bf16_selective — the quality-neutral
+    recommended recipe, runs/bf16/RESULTS.md)."""
     from gan_rl_3d_tpu.config import Config
     from gan_rl_3d_tpu.models import rl_gan_net as net
     from gan_rl_3d_tpu.train import steps
@@ -111,12 +114,14 @@ def bench_train_step(bsz: int = 1024, iters: int = 10,
     opt = steps.make_ae_optimizer(config.training.autoencoder, 100)
     p, s = model["ae"]["params"], model["ae"]["state"]
     o = opt.init(p)
-    name = "bf16" if compute_dtype is not None else "f32"
+    name = (("bf16_selective" if selective else "bf16")
+            if compute_dtype is not None else "f32")
 
     bn_stats = config.training.bn_stats
 
     p, s, o, m = steps.ae_train_step(p, s, o, batch, key, optimizer=opt,
                                      compute_dtype=compute_dtype,
+                                     selective=selective,
                                      bn_stats=bn_stats)
     _ = float(m["loss"])  # warm + sync
     t0 = time.perf_counter()
@@ -125,6 +130,7 @@ def bench_train_step(bsz: int = 1024, iters: int = 10,
                                          jax.random.fold_in(key, i),
                                          optimizer=opt,
                                          compute_dtype=compute_dtype,
+                                         selective=selective,
                                          bn_stats=bn_stats)
     _ = float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
@@ -140,6 +146,8 @@ def main():
     rate = bench_completion()
     train_rate = bench_train_step()
     train_rate_bf16 = bench_train_step(compute_dtype=jnp.bfloat16)
+    train_rate_sel = bench_train_step(compute_dtype=jnp.bfloat16,
+                                      selective=True)
     print(json.dumps({
         "metric": "completion_throughput",
         "value": round(rate, 1),
@@ -147,6 +155,7 @@ def main():
         "vs_baseline": round(rate / BASELINE_CLOUDS_PER_SEC, 1),
         "train_step_clouds_per_sec": round(train_rate, 1),
         "train_step_bf16_clouds_per_sec": round(train_rate_bf16, 1),
+        "train_step_bf16_selective_clouds_per_sec": round(train_rate_sel, 1),
     }))
 
 

@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Diagnostic: sweep the 1-d z action over [-1, 1] and measure the TRUE
-per-sample completion chamfer of decode(G(z)) on a fixed eval batch.
+"""Diagnostic: sweep the z action space and measure the TRUE per-sample
+completion chamfer of decode(G(z)) on a fixed eval batch.
 
 Because the reference architecture's latent GAN takes a 1-d z
 (reference configs/config.yaml:47 z_dim: 1), the GAN path's outputs form a
@@ -11,6 +11,12 @@ best point on that curve per input. This sweep exposes:
 * how much of that the trained agent captures,
 * how z* varies across inputs (if it barely varies, a constant z —
   zero-z ablation — is near-optimal and the agent has little headroom).
+
+For action_dim == 1 the candidate set is a uniform grid (--num-z points);
+for action_dim > 1 (the beyond-parity z_dim ablation, runs/zdim) a grid is
+infeasible, so the oracle is taken over --num-z uniform-random candidates
+in [-bound, bound]^d plus the zero vector, and the z-alignment statistic
+becomes the mean cosine similarity between the agent's z and z*.
 
 Usage: python benchmarks/z_sweep.py --config <cfg> --checkpoint <name>
            [--num-z 41] [--batch 256]
@@ -57,8 +63,8 @@ def main():
         spec=trainer.preproc)
 
     @jax.jit
-    def chamfer_at_z(model, zval):
-        z = jnp.full((n, td3.action_dim), zval)
+    def chamfer_at_z(model, zvec):
+        z = jnp.broadcast_to(zvec, (n, td3.action_dim))
         out = net.decode(model, net.generate(model, z))
         return chamfer_ops.chamfer_distance(out, complete)
 
@@ -69,36 +75,59 @@ def main():
         out = net.decode(model, net.generate(model, z_rl))
         return z_rl, chamfer_ops.chamfer_distance(out, complete)
 
-    zs = np.linspace(-td3.action_bound, td3.action_bound, args.num_z)
-    per_z = np.stack([np.asarray(chamfer_at_z(model, float(z)))
-                      for z in zs])                       # (Z, n)
+    d = td3.action_dim
+    if d == 1:
+        cands = np.linspace(-td3.action_bound, td3.action_bound,
+                            args.num_z)[:, None]          # (Z, 1)
+        kind = f"z grid: {args.num_z} points"
+        zero_iz = int(np.abs(cands[:, 0]).argmin())
+    else:
+        rng = np.random.default_rng(7)
+        cands = rng.uniform(-td3.action_bound, td3.action_bound,
+                            (args.num_z, d))
+        cands[0] = 0.0                                    # zero-z candidate
+        kind = f"z candidates: {args.num_z} uniform-random in {d}-d"
+        zero_iz = 0
+    per_z = np.stack([np.asarray(chamfer_at_z(model, jnp.asarray(c)))
+                      for c in cands])                    # (Z, n)
     z_rl, cd_rl = agent_outputs(model)
-    z_rl = np.asarray(z_rl).reshape(-1)
+    z_rl = np.asarray(z_rl)                               # (n, d)
     cd_rl = np.asarray(cd_rl)
 
     best_iz = per_z.argmin(axis=0)                        # per-sample z*
     oracle = per_z.min(axis=0)
     best_const_iz = per_z.mean(axis=1).argmin()
+    zstar = cands[best_iz]                                # (n, d)
 
-    print(f"samples: {n}; z grid: {args.num_z} points in "
+    def fmt_z(v):
+        return f"{v[0]:+.3f}" if d == 1 else (
+            "[" + " ".join(f"{x:+.2f}" for x in v) + "]")
+
+    print(f"samples: {n}; {kind} in "
           f"[-{td3.action_bound}, {td3.action_bound}]")
     print(f"per-sample oracle-z chamfer : {oracle.mean():.6f}")
-    print(f"best CONSTANT z ({zs[best_const_iz]:+.3f})   : "
+    print(f"best CONSTANT z ({fmt_z(cands[best_const_iz])})   : "
           f"{per_z.mean(axis=1).min():.6f}")
-    print(f"zero z                      : "
-          f"{per_z[np.abs(zs).argmin()].mean():.6f}")
+    print(f"zero z                      : {per_z[zero_iz].mean():.6f}")
     print(f"agent z                     : {cd_rl.mean():.6f}")
     print(f"agent captures "
-          f"{(per_z[np.abs(zs).argmin()].mean() - cd_rl.mean()) / max(per_z[np.abs(zs).argmin()].mean() - oracle.mean(), 1e-9) * 100:.1f}% "
+          f"{(per_z[zero_iz].mean() - cd_rl.mean()) / max(per_z[zero_iz].mean() - oracle.mean(), 1e-9) * 100:.1f}% "
           f"of the zero-z -> oracle gap")
-    zstar = zs[best_iz]
-    print(f"z* spread across samples    : mean {zstar.mean():+.3f} "
-          f"std {zstar.std():.3f} (agent z: mean {z_rl.mean():+.3f} "
-          f"std {z_rl.std():.3f})")
-    print(f"corr(agent z, z*)           : "
-          f"{np.corrcoef(z_rl, zstar)[0, 1]:.3f}"
-          if zstar.std() > 1e-6 and z_rl.std() > 1e-6 else
-          "z* (or agent z) is constant — no per-sample signal to learn")
+    print(f"z* spread across samples    : mean {fmt_z(zstar.mean(axis=0))} "
+          f"std {zstar.std(axis=0).mean():.3f} "
+          f"(agent z: mean {fmt_z(z_rl.mean(axis=0))} "
+          f"std {z_rl.std(axis=0).mean():.3f})")
+    if d == 1:
+        print(f"corr(agent z, z*)           : "
+              f"{np.corrcoef(z_rl[:, 0], zstar[:, 0])[0, 1]:.3f}"
+              if zstar.std() > 1e-6 and z_rl.std() > 1e-6 else
+              "z* (or agent z) is constant — no per-sample signal to learn")
+    else:
+        na = np.linalg.norm(z_rl, axis=1) * np.linalg.norm(zstar, axis=1)
+        ok = na > 1e-9
+        cos = (z_rl * zstar).sum(axis=1)[ok] / na[ok]
+        print(f"cosine(agent z, z*)         : mean {cos.mean():.3f} "
+              f"(random baseline ~0)")
     trainer.close()
 
 

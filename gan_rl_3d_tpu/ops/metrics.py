@@ -44,37 +44,66 @@ def completion_ratio(pred: Array, target: Array, threshold: float = 0.03) -> Arr
     return jnp.mean((d_tp < threshold).astype(jnp.float32), axis=1)
 
 
-def emd_sinkhorn(a: Array, b: Array, *, epsilon: float = 0.02,
-                 iters: int = 50) -> Array:
+def emd_sinkhorn(a: Array, b: Array, *, epsilon: float = 0.002,
+                 iters: int = 200, eps_start: float = 0.5) -> Array:
     """Entropy-regularised EMD (Sinkhorn) between equal-size clouds.
 
     A real (approximate) optimal-transport distance, replacing the
     reference's sort-of-coordinates stand-in (utils/losses.py:78-103).
-    Uses log-domain updates for stability; O(N^2) per cloud, eval-only.
+    Log-domain updates with a geometric epsilon anneal (``eps_start`` ->
+    ``epsilon``) for fast convergence at a small final epsilon, then the
+    transport plan is rounded onto the feasible polytope (Altschuler et
+    al. 2017, Alg. 2) so the returned <P, C> is the cost of a TRUE
+    coupling — an upper bound on exact EMD rather than an
+    entropy-biased estimate (the previous eps=0.02/50-iter variant
+    reported ~0.2 on identical clouds; this one is within a few % of
+    scipy's exact assignment, tests/test_losses.py). At the full
+    N=2048 eval resolution the defaults measure 4-5% above exact
+    linear-assignment EMD on realistic cloud pairs (always from above —
+    the rounded plan is feasible). O(N^2) per cloud per iteration,
+    eval-only.
     """
     n = a.shape[-2]
+    m = b.shape[-2]
     a2 = jnp.sum(a * a, axis=-1, keepdims=True)
     b2 = jnp.sum(b * b, axis=-1, keepdims=True)
     cost = jnp.sqrt(jnp.maximum(
         a2 + jnp.swapaxes(b2, -1, -2)
         - 2.0 * jnp.einsum("...nc,...mc->...nm", a, b), 0.0))
     log_mu = -jnp.log(n) * jnp.ones(cost.shape[:-1])
-    log_nu = -jnp.log(n) * jnp.ones(cost.shape[:-2] + cost.shape[-1:])
+    log_nu = -jnp.log(m) * jnp.ones(cost.shape[:-2] + cost.shape[-1:])
     f = jnp.zeros_like(log_mu)
     g = jnp.zeros_like(log_nu)
+    # geometric anneal reaching the final epsilon at ~2/3 of the budget,
+    # leaving the tail to converge at the target temperature
+    anneal_iters = max(int(iters * 2 / 3), 1)
+    decay = (epsilon / eps_start) ** (1.0 / anneal_iters)
 
-    def body(_, fg):
+    def body(i, fg):
         f, g = fg
-        f = epsilon * (log_mu - jax.nn.logsumexp(
-            (g[..., None, :] - cost) / epsilon, axis=-1))
-        g = epsilon * (log_nu - jax.nn.logsumexp(
-            (f[..., :, None] - cost) / epsilon, axis=-2))
+        eps = jnp.maximum(eps_start * decay ** i, epsilon)
+        f = eps * (log_mu - jax.nn.logsumexp(
+            (g[..., None, :] - cost) / eps, axis=-1))
+        g = eps * (log_nu - jax.nn.logsumexp(
+            (f[..., :, None] - cost) / eps, axis=-2))
         return f, g
 
     f, g = jax.lax.fori_loop(0, iters, body, (f, g))
-    # with these updates the row constraint sum_j P_ij = mu_i is already
-    # satisfied by P = exp((f_i + g_j - C_ij) / eps)
     plan = jnp.exp((f[..., :, None] + g[..., None, :] - cost) / epsilon)
+    # Round to the feasible polytope U(mu, nu): scale rows then columns
+    # down to their marginals, and distribute the leftover mass as a
+    # rank-one correction. Guarantees sum_j P_ij = 1/n, sum_i P_ij = 1/m.
+    mu = 1.0 / n
+    nu = 1.0 / m
+    row = jnp.sum(plan, axis=-1, keepdims=True)
+    plan = plan * jnp.minimum(1.0, mu / jnp.maximum(row, 1e-30))
+    col = jnp.sum(plan, axis=-2, keepdims=True)
+    plan = plan * jnp.minimum(1.0, nu / jnp.maximum(col, 1e-30))
+    err_r = mu - jnp.sum(plan, axis=-1)                    # (..., n) >= 0
+    err_c = nu - jnp.sum(plan, axis=-2)                    # (..., m) >= 0
+    total = jnp.sum(err_r, axis=-1)[..., None, None]
+    plan = plan + (err_r[..., :, None] * err_c[..., None, :]
+                   / jnp.maximum(total, 1e-30))
     return jnp.sum(plan * cost, axis=(-2, -1))
 
 

@@ -1,0 +1,13 @@
+#!/bin/bash
+# z_dim ablation flagship run (see seed_from_best4_ae.py and CLAUDE.md
+# open threads): resume from best4's AE at phase lgan, train LGAN(z=8) +
+# TD3(action_dim=8) + joint on best4's 12.8k-cloud dataset, then evaluate
+# and sweep the 8-d z-landscape.
+set -e
+cd "$(dirname "$0")"
+python /root/repo/train_rl_gan_net.py --config config_z8.yaml \
+    --phase full --resume seed_ae 2>&1 | tee train_z8.log
+python /root/repo/evaluate.py --config config_z8.yaml \
+    --checkpoint joint_calibrated --ablate-z 2>&1 | tee eval_z8.log
+python /root/repo/benchmarks/z_sweep.py --config config_z8.yaml \
+    --checkpoint joint_calibrated --num-z 257 2>&1 | tee z_sweep.log

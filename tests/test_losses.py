@@ -96,9 +96,31 @@ def test_emd_sinkhorn_sanity():
     shifted = a + jnp.asarray([2.0, 0.0, 0.0])
     emd_same = metrics.emd_sinkhorn(a, a)
     emd_far = metrics.emd_sinkhorn(a, shifted)
-    assert float(jnp.mean(emd_same)) < 0.25
-    # translation by 2 must cost ~2 per unit mass
-    assert 1.5 < float(jnp.mean(emd_far)) < 2.5
+    # annealed + feasibility-rounded: identical clouds cost ~0
+    assert float(jnp.mean(emd_same)) < 1e-3
+    # translation by 2 costs 2 per unit mass (within rounding)
+    assert 1.99 < float(jnp.mean(emd_far)) < 2.02
     # reference's sort-based stand-in is exposed for API parity
     v = losses.emd_sorted_approx(a, shifted)
     assert np.isfinite(float(v))
+
+
+def test_emd_sinkhorn_matches_exact_assignment():
+    """The rounded Sinkhorn cost is a feasible-coupling upper bound within
+    a few % of scipy's exact linear-assignment EMD (the assignment is an
+    extreme point of the coupling polytope, so exact EMD <= our value)."""
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.RandomState(11)
+    pairs = []
+    x = rng.rand(128, 3).astype(np.float32)
+    pairs.append(("uniform", x, rng.rand(128, 3).astype(np.float32)))
+    pairs.append(("noisy", x, x + 0.03 * rng.randn(128, 3).astype(np.float32)))
+    for name, a, b in pairs:
+        d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(-1))
+        r, c = linear_sum_assignment(d)
+        exact = d[r, c].mean()
+        approx = float(metrics.emd_sinkhorn(jnp.asarray(a[None]),
+                                            jnp.asarray(b[None]))[0])
+        assert approx >= exact - 1e-4, (name, exact, approx)
+        assert approx <= exact * 1.03 + 1e-4, (name, exact, approx)
