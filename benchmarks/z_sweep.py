@@ -55,9 +55,14 @@ def main():
     model = trainer.model
     td3 = trainer.td3
 
+    # Stratify the eval batch across the whole (category-ordered) test
+    # split: data[:n] would be a SINGLE category (the first n files), for
+    # which a near-constant z* is expected — every-kth sampling makes the
+    # sweep measure cross-category per-sample signal too.
     data = trainer.test_loader.dataset.as_array()
     n = min(args.batch, len(data))
-    batch = jnp.asarray(data[:n])
+    idx = np.linspace(0, len(data) - 1, n).astype(int)
+    batch = jnp.asarray(data[idx])
     complete, incomplete, mask = pc_ops.make_training_batch(
         jax.random.PRNGKey(7), batch, do_augment=False,
         spec=trainer.preproc)
@@ -88,8 +93,13 @@ def main():
         cands[0] = 0.0                                    # zero-z candidate
         kind = f"z candidates: {args.num_z} uniform-random in {d}-d"
         zero_iz = 0
-    per_z = np.stack([np.asarray(chamfer_at_z(model, jnp.asarray(c)))
-                      for c in cands])                    # (Z, n)
+    rows = []
+    for i, c in enumerate(cands):
+        rows.append(np.asarray(chamfer_at_z(model, jnp.asarray(c))))
+        if (i + 1) % 16 == 0 or i + 1 == len(cands):
+            print(f"  swept {i + 1}/{len(cands)} candidates",
+                  file=sys.stderr, flush=True)
+    per_z = np.stack(rows)                                # (Z, n)
     z_rl, cd_rl = agent_outputs(model)
     z_rl = np.asarray(z_rl)                               # (n, d)
     cd_rl = np.asarray(cd_rl)
