@@ -35,7 +35,11 @@ def _timed(fn_chain, warm_out, iters: int) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def bench_completion(batch_sizes=(4096, 8192), iters: int = 15) -> float:
+def bench_completion(batch_sizes=(4096, 8192), iters: int = 15,
+                     include_engines: bool = True) -> float:
+    """``include_engines=False`` (the CPU-outage fallback) times only the
+    reference jit path: the folded/bf16 engines use Pallas kernels, which
+    off-TPU run in interpret mode — minutes per call, not a benchmark."""
     from gan_rl_3d_tpu.config import Config
     from gan_rl_3d_tpu.models import inference
     from gan_rl_3d_tpu.models import rl_gan_net as net
@@ -45,15 +49,20 @@ def bench_completion(batch_sizes=(4096, 8192), iters: int = 15) -> float:
     model = net.init_model(jax.random.PRNGKey(0), config)
 
     ref_fn = jax.jit(lambda m, x: net.complete(m, x, cfg=td3)["hybrid_output"])
-    # deployment engine: BN/spectral-norm folded into plain affines, the
-    # K=3 first layer on the VPU, decoder/discriminator pair batched into
-    # one concat pass. f32 is the fast dtype on this chip (f32~bf16 MXU).
-    engine = inference.prepare_inference_engine(model)
-    fast_fn = jax.jit(lambda e, x: inference.complete_fast(
-        e, x)["hybrid_output"])
-    engine16 = inference.prepare_inference_engine(model, dtype=jnp.bfloat16)
-    fast16_fn = jax.jit(lambda e, x: inference.complete_fast(
-        e, x, dtype=jnp.bfloat16)["hybrid_output"].astype(jnp.float32))
+    paths = [("f32 reference path", ref_fn, model)]
+    if include_engines:
+        # deployment engine: BN/spectral-norm folded into plain affines, the
+        # K=3 first layer on the VPU, decoder/discriminator pair batched into
+        # one concat pass. f32 is the fast dtype on this chip (f32~bf16 MXU).
+        engine = inference.prepare_inference_engine(model)
+        fast_fn = jax.jit(lambda e, x: inference.complete_fast(
+            e, x)["hybrid_output"])
+        engine16 = inference.prepare_inference_engine(model,
+                                                      dtype=jnp.bfloat16)
+        fast16_fn = jax.jit(lambda e, x: inference.complete_fast(
+            e, x, dtype=jnp.bfloat16)["hybrid_output"].astype(jnp.float32))
+        paths += [("f32 folded engine", fast_fn, engine),
+                  ("bf16 kernel engine", fast16_fn, engine16)]
 
     # real-time serving latency: one cloud end to end (the reference's
     # headline claim is 0.04 s/cloud at batch 1, results_viewer.html:40)
@@ -65,14 +74,12 @@ def bench_completion(batch_sizes=(4096, 8192), iters: int = 15) -> float:
             x = ref_fn(model, x)
         return x
 
-    lat = _timed(chain1, ref_fn(model, one), 50)
+    lat = _timed(chain1, ref_fn(model, one), 50 if include_engines else 5)
     print(f"# batch-1 latency: {lat * 1e3:.3f} ms/cloud "
           f"(reference: ~40 ms/cloud)", flush=True)
 
     best = 0.0
-    for name, f, arg in (("f32 reference path", ref_fn, model),
-                         ("f32 folded engine", fast_fn, engine),
-                         ("bf16 kernel engine", fast16_fn, engine16)):
+    for name, f, arg in paths:
         for bsz in batch_sizes:
             pc = jax.random.normal(jax.random.PRNGKey(1), (bsz, 2048, 3),
                                    jnp.float32)
@@ -140,22 +147,59 @@ def bench_train_step(bsz: int = 1024, iters: int = 10,
     return rate
 
 
+def _tpu_available(timeout_s: int = 240) -> bool:
+    """Probe the axon TPU backend in a SUBPROCESS with a hard timeout.
+
+    During a pool outage make_c_api_client blocks for ~25 min before
+    failing (CLAUDE.md tunnel-wedge note) — an in-process jax.devices()
+    would hang the whole bench. A killed subprocess costs nothing."""
+    import subprocess
+    import sys
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True)
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from gan_rl_3d_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
-    rate = bench_completion()
-    train_rate = bench_train_step()
-    train_rate_bf16 = bench_train_step(compute_dtype=jnp.bfloat16)
-    train_rate_sel = bench_train_step(compute_dtype=jnp.bfloat16,
-                                      selective=True)
+    backend = "tpu"
+    if not _tpu_available():
+        # Degraded mode: report a small-batch CPU measurement, clearly
+        # labeled, instead of hanging the scored run on a dead tunnel.
+        print("# TPU backend unavailable (pool outage?) — falling back to "
+              "CPU at reduced scale; numbers NOT comparable to TPU runs",
+              flush=True)
+        jax.config.update("jax_platforms", "cpu")
+        backend = "cpu_fallback"
+    if backend == "tpu":
+        rate = bench_completion()
+        train_rate = bench_train_step()
+        train_rate_bf16 = bench_train_step(compute_dtype=jnp.bfloat16)
+        train_rate_sel = bench_train_step(compute_dtype=jnp.bfloat16,
+                                          selective=True)
+    else:
+        rate = bench_completion(batch_sizes=(256,), iters=2,
+                                include_engines=False)
+        train_rate = bench_train_step(bsz=64, iters=2)
+        train_rate_bf16 = train_rate_sel = None
     print(json.dumps({
         "metric": "completion_throughput",
         "value": round(rate, 1),
         "unit": "clouds/sec",
         "vs_baseline": round(rate / BASELINE_CLOUDS_PER_SEC, 1),
+        "backend": backend,
         "train_step_clouds_per_sec": round(train_rate, 1),
-        "train_step_bf16_clouds_per_sec": round(train_rate_bf16, 1),
-        "train_step_bf16_selective_clouds_per_sec": round(train_rate_sel, 1),
+        "train_step_bf16_clouds_per_sec":
+            round(train_rate_bf16, 1) if train_rate_bf16 else None,
+        "train_step_bf16_selective_clouds_per_sec":
+            round(train_rate_sel, 1) if train_rate_sel else None,
     }))
 
 
