@@ -147,12 +147,15 @@ def bench_train_step(bsz: int = 1024, iters: int = 10,
     return rate
 
 
-def _tpu_available(timeout_s: int = 240) -> bool:
+def _tpu_available(timeout_s: int = 600) -> bool:
     """Probe the axon TPU backend in a SUBPROCESS with a hard timeout.
 
     During a pool outage make_c_api_client blocks for ~25 min before
     failing (CLAUDE.md tunnel-wedge note) — an in-process jax.devices()
-    would hang the whole bench. A killed subprocess costs nothing."""
+    would hang the whole bench. A killed subprocess costs nothing.
+    The timeout is generous because a *recovering* pool can grant the
+    claim slowly — falsely routing the scored run to the CPU fallback
+    is far worse than waiting 10 extra minutes on a truly dead pool."""
     import subprocess
     import sys
 
