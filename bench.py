@@ -147,15 +147,18 @@ def bench_train_step(bsz: int = 1024, iters: int = 10,
     return rate
 
 
-def _tpu_available(timeout_s: int = 600) -> bool:
+def _tpu_available(timeout_s: int = 1800) -> bool:
     """Probe the axon TPU backend in a SUBPROCESS with a hard timeout.
 
     During a pool outage make_c_api_client blocks for ~25 min before
     failing (CLAUDE.md tunnel-wedge note) — an in-process jax.devices()
-    would hang the whole bench. A killed subprocess costs nothing.
-    The timeout is generous because a *recovering* pool can grant the
-    claim slowly — falsely routing the scored run to the CPU fallback
-    is far worse than waiting 10 extra minutes on a truly dead pool."""
+    would hang the whole bench. The timeout must be WELL past the worst
+    observed grant time (cold init has exceeded 900 s): killing the
+    subprocess mid-claim is itself what wedges the tunnel for every later
+    client, so the timeout exists only as a last-resort bound that should
+    never fire on a live-but-slow pool. Falsely routing the scored run to
+    the CPU fallback — or wedging the pool — is far worse than waiting
+    20 extra minutes on a truly dead one."""
     import subprocess
     import sys
 

@@ -53,6 +53,8 @@ def _build_fn(args, config):
 
     gate_mode, gate_bias = load_gate_calibration(
         config.training.checkpoint_dir,
+        # engine mode: source checkpoint unknown -> legacy always-apply
+        checkpoint=None if args.engine else args.checkpoint,
         default_mode=config.model.gate_mode,
         default_bias=config.model.gate_bias)
     if args.engine:
@@ -127,6 +129,7 @@ def _watch(args, config, fn, weights, n_points):
             if p.suffix.lower() not in _CLOUD_SUFFIXES:
                 continue
             present.add(p.name)
+            mtime = None
             try:
                 # the file can vanish between iterdir() and here; a
                 # deleted entry must not kill the resident service
@@ -138,7 +141,10 @@ def _watch(args, config, fn, weights, n_points):
                 if not p.exists():
                     continue
                 print(f"{p}: skipped ({e})", flush=True)
-                seen[p.name] = now
+                # remember the failing mtime (when stat succeeded) so a
+                # persistently unreadable file isn't retried every poll;
+                # rewriting the file (new mtime) re-triggers a pickup
+                seen[p.name] = mtime if mtime is not None else now
                 continue
             except ValueError as e:
                 print(f"{p}: skipped ({e})", flush=True)
@@ -183,8 +189,10 @@ def main():
     parser.add_argument("--output", type=str, default="hybrid_output",
                         choices=["hybrid_output", "completed_pc",
                                  "ae_reconstruction"])
-    parser.add_argument("--batch-size", type=int, default=64,
-                        help="fixed chunk size (one compiled shape)")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="fixed chunk size (one compiled shape); "
+                             "default 64, or 8 in --watch mode where "
+                             "first-completion latency beats throughput")
     parser.add_argument("--watch", type=str, default=None,
                         help="run as a resident service: poll this "
                              "directory and complete new files as they "
@@ -213,10 +221,12 @@ def main():
     fn, weights = _build_fn(args, config)
 
     if args.watch:
-        # service latency beats throughput: cap the chunk size so one big
-        # drop of files doesn't stall the first completions behind a huge
-        # batch (files that arrive together still share a dispatch, up to 8)
-        args.batch_size = max(1, min(args.batch_size, 8))
+        # service latency beats throughput: default to small chunks so one
+        # big drop of files doesn't stall the first completions behind a
+        # huge batch — but an explicit --batch-size (e.g. a bulk backfill
+        # with --max-files) is honoured as given
+        args.batch_size = 8 if args.batch_size is None \
+            else max(1, args.batch_size)
         _watch(args, config, fn, weights, n_points)
         return
 
@@ -229,7 +239,7 @@ def main():
             parser.error(f"{path}: cannot load ({e})")
         items.append((Path(path).stem, pc, mask, frame))
 
-    bs = max(1, min(args.batch_size, len(items)))
+    bs = max(1, min(args.batch_size or 64, len(items)))
     t0 = time.perf_counter()
     written = _complete_and_write(fn, weights, items, bs, args.output_dir)
     for src, dest in zip(args.inputs, written):

@@ -63,6 +63,7 @@ def main():
 
     gate_mode, gate_bias = load_gate_calibration(
         config.training.checkpoint_dir,
+        checkpoint=args.checkpoint,
         default_mode=config.model.gate_mode,
         default_bias=config.model.gate_bias)
     if (gate_mode, gate_bias) != (config.model.gate_mode,

@@ -138,6 +138,20 @@ _BN_STATS_MODES = ("centered", "single_read_grouped")
 _BN_GROUPS = 8
 
 
+def validate_bn_stats_mesh(bn_stats: str, data_shards: int) -> None:
+    """Fail loudly when single_read_grouped's alignment precondition is
+    violated: every fixed group must lie within one batch shard, i.e. the
+    data-mesh axis size must divide _BN_GROUPS. A 16-shard (or 6-shard)
+    mesh would otherwise silently break the guaranteed sharded-vs-single-
+    device trajectory equivalence (docs/PERF.md #7)."""
+    if bn_stats == "single_read_grouped" and _BN_GROUPS % data_shards != 0:
+        raise ValueError(
+            f"training.bn_stats='single_read_grouped' requires the data "
+            f"mesh axis ({data_shards} shards) to divide "
+            f"_BN_GROUPS={_BN_GROUPS}; use bn_stats='centered' on larger "
+            f"meshes (see docs/PERF.md #7)")
+
+
 @contextlib.contextmanager
 def bn_stats_mode(mode: str):
     """Trace-time BN statistics policy switch (see _BN_STATS_MODE above)."""

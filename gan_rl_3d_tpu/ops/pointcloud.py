@@ -226,9 +226,14 @@ def cut_holes(
         raise ValueError(
             f"hole ratios must satisfy 0 <= min <= max <= 0.95, got "
             f"({min_ratio}, {max_ratio})")
-    # static roll count for the repeat-padding tail fill: keep fraction is
-    # at least 1 - max_ratio, so this many passes always complete the fill
-    fill_passes = int(math.ceil(1.0 / (1.0 - max_ratio))) - 1 or 1
+    # static roll count for the repeat-padding tail fill: the smallest
+    # possible keep count is floor(n*(1-max_ratio)) (the sampled ratio can
+    # land arbitrarily close to max_ratio and floor() rounds down), so bound
+    # the passes by that worst case — (passes+1)*n_keep_min >= n guarantees
+    # every slot is covered. The old ceil(1/(1-max_ratio))-1 form ignored the
+    # floor and under-filled e.g. n=2048, max_ratio=0.95 (covered 2040/2048).
+    n_keep_min = max(1, int(math.floor(n * (1.0 - max_ratio))))
+    fill_passes = int(math.ceil(n / n_keep_min)) - 1 or 1
     k_ratio, k_method, k_rand, k_center, k_normal = jax.random.split(key, 5)
     ratio = jax.random.uniform(k_ratio, (), jnp.float32, min_ratio, max_ratio)
     n_keep = jnp.floor(n * (1.0 - ratio)).astype(jnp.int32)

@@ -90,6 +90,10 @@ def calibrate_gate(stats: Dict[str, np.ndarray],
     cd_ae = stats["cd_ae"].astype(np.float64)
     margin = stats["margin"].astype(np.float64)
     n = len(margin)
+    if n == 0:
+        raise ValueError(
+            "calibrate_gate: no validation samples (every row padded or "
+            "empty loader) — cannot sweep the gate threshold")
     order = np.argsort(margin)
     sorted_margin = margin[order]
     # candidate thresholds: midpoints between consecutive margins, plus
@@ -137,16 +141,30 @@ def save_gate_calibration(checkpoint_dir: str,
 
 
 def load_gate_calibration(checkpoint_dir: str, *,
+                          checkpoint: str | None = None,
                           default_mode: str = "discriminator",
                           default_bias: float = 0.0) -> Tuple[str, float]:
     """Serving-side read: the calibrated (gate_mode, gate_bias) when a
-    calibration sidecar exists, otherwise the config defaults."""
+    calibration sidecar exists AND applies to ``checkpoint``, otherwise the
+    config defaults.
+
+    The calibration is measured against a specific discriminator (the
+    phase-5.5 refreshed one), so the sidecar records which checkpoint names
+    it belongs to; loading a different checkpoint from the same directory
+    (e.g. ``joint_best`` or a pre-joint phase) must NOT inherit it — the
+    bias would misroute against the un-refreshed D. ``checkpoint=None``
+    (engine serving, where the source checkpoint is unknown) and legacy
+    sidecars without the field keep the old always-apply behavior."""
     path = Path(checkpoint_dir) / GATE_FILE
     if not path.exists():
         return default_mode, default_bias
     try:
         with open(path) as f:
             report = json.load(f)
+        applies_to = report.get("checkpoints")
+        if (applies_to is not None and checkpoint is not None
+                and checkpoint not in applies_to):
+            return default_mode, default_bias
         return (str(report.get("gate_mode", default_mode)),
                 float(report.get("gate_bias", default_bias)))
     except (OSError, ValueError, TypeError):

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gan_rl_3d_tpu import nn
 from gan_rl_3d_tpu.config import Config, load_config
 from gan_rl_3d_tpu.data.dataset import BatchLoader, ShapeNetDataset, setup_dataset
 from gan_rl_3d_tpu.models import rl_agent as rl
@@ -70,6 +71,8 @@ class RLGANNetTrainer:
         self.bn_stats = cfg.training.bn_stats
         # mesh: all devices data-parallel by default
         self.mesh = mesh_lib.make_mesh()
+        nn.validate_bn_stats_mesh(self.bn_stats,
+                                  self.mesh.shape[mesh_lib.DATA_AXIS])
         self.key = jax.random.PRNGKey(cfg.training.seed)
 
         self._setup_data()
@@ -576,6 +579,9 @@ class RLGANNetTrainer:
             cfg=self.td3, spec=self.preproc,
             bidirectional=self.bidirectional)
         report = gate_lib.calibrate_gate(stats)
+        # scope the sidecar to the checkpoints that actually carry the
+        # refreshed discriminator it was calibrated against
+        report["checkpoints"] = ["joint_calibrated", "final"]
         path = gate_lib.save_gate_calibration(str(self.checkpoint_dir),
                                               report)
         print(f"gate: mode={report['gate_mode']} "

@@ -240,3 +240,38 @@ def test_pipeline_with_refresh_and_calibration(gate_config):
                        gate_mode=mode, gate_bias=bias)
     assert np.all(np.isfinite(np.asarray(out["hybrid_output"])))
     trainer.close()
+
+
+def test_gate_sidecar_scoped_to_calibrated_checkpoints(tmp_path):
+    """The calibration is measured against the phase-5.5 refreshed D, so a
+    sidecar recording its checkpoints must NOT apply to other checkpoints
+    from the same directory (joint_best still has the stale D)."""
+    report = {"gate_mode": "ae", "gate_bias": 0.0,
+              "checkpoints": ["joint_calibrated", "final"]}
+    gate_lib.save_gate_calibration(str(tmp_path), report)
+    # matching checkpoint -> calibrated values
+    assert gate_lib.load_gate_calibration(
+        str(tmp_path), checkpoint="joint_calibrated") == ("ae", 0.0)
+    assert gate_lib.load_gate_calibration(
+        str(tmp_path), checkpoint="final") == ("ae", 0.0)
+    # a different checkpoint in the same dir -> config defaults
+    assert gate_lib.load_gate_calibration(
+        str(tmp_path), checkpoint="joint_best",
+        default_mode="discriminator", default_bias=0.25) == \
+        ("discriminator", 0.25)
+    # unknown source (engine serving) and legacy sidecars keep applying
+    assert gate_lib.load_gate_calibration(
+        str(tmp_path), checkpoint=None) == ("ae", 0.0)
+    legacy = {"gate_mode": "rl", "gate_bias": 1.0}
+    gate_lib.save_gate_calibration(str(tmp_path), legacy)
+    assert gate_lib.load_gate_calibration(
+        str(tmp_path), checkpoint="anything") == ("rl", 1.0)
+
+
+def test_calibrate_gate_rejects_empty_stats():
+    """An all-padded split must fail with a clear message, not an
+    IndexError deep in the threshold sweep."""
+    empty = {k: np.zeros((0,), np.float32)
+             for k in ("cd_rl", "cd_ae", "margin")}
+    with pytest.raises(ValueError, match="no validation samples"):
+        gate_lib.calibrate_gate(empty)

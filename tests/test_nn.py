@@ -142,3 +142,15 @@ def test_dropout():
     np.testing.assert_allclose(np.asarray(y)[kept], 1.0 / 0.7, rtol=1e-6)
     y_eval = nn.dropout(key, x, 0.3, training=False)
     np.testing.assert_array_equal(np.asarray(y_eval), np.asarray(x))
+
+
+def test_validate_bn_stats_mesh():
+    """single_read_grouped's equivalence guarantee needs every fixed group
+    inside one batch shard: data shards must divide _BN_GROUPS=8."""
+    for shards in (1, 2, 4, 8):
+        nn.validate_bn_stats_mesh("single_read_grouped", shards)
+    for shards in (3, 6, 16):
+        with pytest.raises(ValueError, match="centered"):
+            nn.validate_bn_stats_mesh("single_read_grouped", shards)
+    # "centered" is partition-safe on any mesh
+    nn.validate_bn_stats_mesh("centered", 16)

@@ -94,3 +94,26 @@ def test_make_training_batch_jits():
     # normalised
     radii = np.asarray(jnp.max(jnp.linalg.norm(complete, axis=-1), axis=1))
     np.testing.assert_allclose(radii, 1.0, rtol=1e-4)
+
+
+def test_cut_holes_extreme_ratio_full_coverage():
+    """max_ratio at the 0.95 validation bound: floor(n*(1-ratio)) can drop
+    the keep count below n/(old_fill_passes+1), so the pass bound must be
+    computed from the worst-case keep count, not the real-valued fraction
+    (n=256, ratio->0.95: n_keep=12, the old ceil(1/0.05)-1=19 passes
+    covered only 240/256 slots, leaving hole-region points in the tail)."""
+    x = jnp.asarray(np.random.RandomState(11).randn(256, 3).astype(np.float32))
+    orig = {tuple(p) for p in np.asarray(x)}
+    for seed in range(8):
+        # ratio in [0.9493, 0.95) pins n_keep = floor(256*(1-ratio)) = 12,
+        # the regime where the old bound covered only 240/256 slots
+        out, mask = pc.cut_holes(jax.random.PRNGKey(seed), x,
+                                 min_ratio=0.9493, max_ratio=0.95)
+        m = np.asarray(mask)
+        n_keep = int(m.sum())
+        assert n_keep == 12
+        kept_set = {tuple(p) for p in np.asarray(out)[:n_keep]}
+        assert all(tuple(p) in orig for p in np.asarray(out)[:n_keep])
+        # EVERY tail slot must be a repeat of a kept point — no dropped
+        # hole-region point may survive into the padded tail
+        assert all(tuple(p) in kept_set for p in np.asarray(out)[n_keep:])
