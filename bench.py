@@ -162,14 +162,21 @@ def _tpu_available(timeout_s: int = 1800) -> bool:
     import subprocess
     import sys
 
-    try:
-        p = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
-            timeout=timeout_s, capture_output=True)
-        return p.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    # Popen + poll so a timeout ABANDONS the child instead of killing it:
+    # subprocess.run() would SIGKILL mid-claim, which is exactly what
+    # wedges the axon leg for every later client (CLAUDE.md). An
+    # abandoned probe either errors out on its own or, when the pool
+    # recovers, gets the claim, exits, and releases it immediately.
+    p = subprocess.Popen(
+        [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        rc = p.poll()
+        if rc is not None:
+            return rc == 0
+        time.sleep(2.0)
+    return False  # child left running, NOT killed
 
 
 def main():

@@ -56,7 +56,8 @@ def _build_fn(args, config):
         # engine mode: source checkpoint unknown -> legacy always-apply
         checkpoint=None if args.engine else args.checkpoint,
         default_mode=config.model.gate_mode,
-        default_bias=config.model.gate_bias)
+        default_bias=config.model.gate_bias,
+        verbose=True)
     if args.engine:
         from gan_rl_3d_tpu.models import inference
 

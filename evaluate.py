@@ -65,7 +65,8 @@ def main():
         config.training.checkpoint_dir,
         checkpoint=args.checkpoint,
         default_mode=config.model.gate_mode,
-        default_bias=config.model.gate_bias)
+        default_bias=config.model.gate_bias,
+        verbose=True)
     if (gate_mode, gate_bias) != (config.model.gate_mode,
                                   config.model.gate_bias):
         print(f"using calibrated gate: mode={gate_mode} bias={gate_bias:.4f}")

@@ -46,7 +46,9 @@ def completion_ratio(pred: Array, target: Array, threshold: float = 0.03) -> Arr
 
 def emd_sinkhorn(a: Array, b: Array, *, epsilon: float = 0.002,
                  iters: int = 200, eps_start: float = 0.5) -> Array:
-    """Entropy-regularised EMD (Sinkhorn) between equal-size clouds.
+    """Entropy-regularised EMD (Sinkhorn) between clouds of n and m points
+    (uniform weights 1/n and 1/m; n == m is the common eval case but not
+    required).
 
     A real (approximate) optimal-transport distance, replacing the
     reference's sort-of-coordinates stand-in (utils/losses.py:78-103).

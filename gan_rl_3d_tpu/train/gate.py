@@ -140,10 +140,40 @@ def save_gate_calibration(checkpoint_dir: str,
     return path
 
 
+def descope_gate_calibration(checkpoint_dir: str, name: str) -> None:
+    """Remove ``name`` from an existing sidecar's checkpoint scope.
+
+    Called by the trainer before overwriting a checkpoint without a fresh
+    calibration: the stale bias was measured against a different
+    discriminator and must not apply to the new weights. Deletes the
+    sidecar outright when the scope empties out."""
+    path = Path(checkpoint_dir) / GATE_FILE
+    if not path.exists():
+        return
+    try:
+        with open(path) as f:
+            report = json.load(f)
+        applies_to = report.get("checkpoints")
+        if applies_to is None or name not in applies_to:
+            return
+        applies_to = [c for c in applies_to if c != name]
+        if applies_to:
+            report["checkpoints"] = applies_to
+            with open(path, "w") as f:
+                json.dump(report, f, indent=2)
+        else:
+            path.unlink()
+        print(f"gate calibration sidecar descoped from {name!r} "
+              f"(checkpoint overwritten without re-calibration)")
+    except (OSError, ValueError, TypeError):
+        return
+
+
 def load_gate_calibration(checkpoint_dir: str, *,
                           checkpoint: str | None = None,
                           default_mode: str = "discriminator",
-                          default_bias: float = 0.0) -> Tuple[str, float]:
+                          default_bias: float = 0.0,
+                          verbose: bool = False) -> Tuple[str, float]:
     """Serving-side read: the calibrated (gate_mode, gate_bias) when a
     calibration sidecar exists AND applies to ``checkpoint``, otherwise the
     config defaults.
@@ -164,6 +194,13 @@ def load_gate_calibration(checkpoint_dir: str, *,
         applies_to = report.get("checkpoints")
         if (applies_to is not None and checkpoint is not None
                 and checkpoint not in applies_to):
+            if verbose:
+                # a silent fallback makes eval numbers change between
+                # runs with no trace in the log (advisor r3)
+                print(f"gate calibration sidecar present but scoped to "
+                      f"{applies_to} — checkpoint {checkpoint!r} uses "
+                      f"config defaults (mode={default_mode}, "
+                      f"bias={default_bias:.4f})")
             return default_mode, default_bias
         return (str(report.get("gate_mode", default_mode)),
                 float(report.get("gate_bias", default_bias)))

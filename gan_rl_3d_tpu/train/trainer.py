@@ -88,6 +88,10 @@ class RLGANNetTrainer:
         # mid-phase resume bookkeeping: set by load_checkpoint, consumed by
         # the phase whose name matches (see _restore_train_state)
         self._resume: Optional[Dict[str, object]] = None
+        # whether THIS run produced a gate calibration; a stale sidecar
+        # from a previous run must not survive a re-run that overwrites
+        # the checkpoints it is scoped to (advisor r3)
+        self._gate_calibrated = False
 
     # ------------------------------------------------------------------
     # data
@@ -584,6 +588,7 @@ class RLGANNetTrainer:
         report["checkpoints"] = ["joint_calibrated", "final"]
         path = gate_lib.save_gate_calibration(str(self.checkpoint_dir),
                                               report)
+        self._gate_calibrated = True
         print(f"gate: mode={report['gate_mode']} "
               f"bias={report['gate_bias']:.4f} "
               f"val chamfer {report['val_chamfer_raw_gate']:.6f} (raw) -> "
@@ -644,6 +649,13 @@ class RLGANNetTrainer:
         agent's optimizers, rl_agent.py:369-381, and never restores
         mid-phase)."""
         path = self.checkpoint_dir / name
+        # overwriting a checkpoint that a PREVIOUS run's calibration
+        # sidecar is scoped to, without having re-calibrated in this run,
+        # would leave the old bias applying to a different discriminator
+        # — descope it (advisor r3)
+        if not self._gate_calibrated:
+            from gan_rl_3d_tpu.train import gate as gate_lib
+            gate_lib.descope_gate_calibration(str(self.checkpoint_dir), name)
         tree = {"model": self.model,
                 "meta": {"epoch": np.int32(epoch),
                          "phase_idx": np.int32(net.PHASES.index(phase))}}

@@ -275,3 +275,33 @@ def test_calibrate_gate_rejects_empty_stats():
              for k in ("cd_rl", "cd_ae", "margin")}
     with pytest.raises(ValueError, match="no validation samples"):
         gate_lib.calibrate_gate(empty)
+
+
+def test_descope_gate_calibration(tmp_path):
+    """Overwriting a scoped checkpoint without a fresh calibration must
+    remove it from the sidecar's scope — and delete the sidecar once the
+    scope empties — so a stale bias never applies against a different
+    discriminator (advisor r3)."""
+    report = {"gate_mode": "ae", "gate_bias": 0.5,
+              "checkpoints": ["joint_calibrated", "final"]}
+    gate_lib.save_gate_calibration(str(tmp_path), report)
+
+    gate_lib.descope_gate_calibration(str(tmp_path), "final")
+    assert gate_lib.load_gate_calibration(
+        str(tmp_path), checkpoint="final",
+        default_mode="discriminator", default_bias=0.0) == \
+        ("discriminator", 0.0)
+    # the other scoped checkpoint still applies
+    assert gate_lib.load_gate_calibration(
+        str(tmp_path), checkpoint="joint_calibrated") == ("ae", 0.5)
+
+    gate_lib.descope_gate_calibration(str(tmp_path), "joint_calibrated")
+    assert not (tmp_path / gate_lib.GATE_FILE).exists()
+
+    # no-ops: missing sidecar, unscoped name, legacy sidecar
+    gate_lib.descope_gate_calibration(str(tmp_path), "final")
+    gate_lib.save_gate_calibration(str(tmp_path), {"gate_mode": "rl",
+                                                   "gate_bias": 1.0})
+    gate_lib.descope_gate_calibration(str(tmp_path), "final")
+    assert gate_lib.load_gate_calibration(
+        str(tmp_path), checkpoint="final") == ("rl", 1.0)
