@@ -98,7 +98,7 @@ def main():
 
     metric_names = (tuple(m.strip() for m in args.metrics.split(","))
                     if args.metrics else tuple(config.evaluation.metrics))
-    sums = {m: 0.0 for m in metric_names}
+    sums: dict = {}
     ablate_sums: dict = {}
     n_samples = 0
     exported = []
@@ -113,12 +113,14 @@ def main():
         metrics = evaluate_completion(
             pred, complete_pc, metric_names,
             fscore_threshold=config.evaluation.fscore_threshold,
+            fscore_thresholds=config.evaluation.fscore_thresholds,
             completion_threshold=config.evaluation.completion_threshold,
             reduce=False)
         # exclude wrap-around padded duplicate rows from aggregation
+        # (iterate the returned dict: f_score expands to a threshold sweep)
         keep = np.asarray(batch["pad"] == 0)
-        for m in metric_names:
-            sums[m] += float(np.asarray(metrics[m])[keep].sum())
+        for m, v in metrics.items():
+            sums[m] = sums.get(m, 0.0) + float(np.asarray(v)[keep].sum())
         n_samples += int(keep.sum())
 
         if args.ablate_z:
@@ -144,7 +146,7 @@ def main():
                     incomplete_mask=np.asarray(mask[j]))
                 exported.append(f"sample_{j + 1:02d}_{category}")
 
-    stats = {m: sums[m] / max(n_samples, 1) for m in metric_names}
+    stats = {m: v / max(n_samples, 1) for m, v in sums.items()}
     print("\n=== evaluation ===")
     for m, v in stats.items():
         print(f"{m}: {v:.6f}")

@@ -239,6 +239,11 @@ class EvaluationConfig:
     save_visualizations: bool = True
     eval_frequency: int = 10
     fscore_threshold: float = 0.01
+    # reported alongside the primary threshold so the F-score row is
+    # interpretable (one number at one arbitrary tau on unit-sphere clouds
+    # invites misreading; reference README.md:304-305 quotes a single
+    # protocol-less 0.863)
+    fscore_thresholds: Tuple[float, ...] = (0.01, 0.02, 0.05)
     completion_threshold: float = 0.03
 
 

@@ -117,9 +117,12 @@ def evaluate_completion(
     fscore_threshold: float = 0.01,
     completion_threshold: float = 0.03,
     reduce: bool = True,
+    fscore_thresholds: tuple = (),
 ) -> Dict[str, Array]:
     """Metric dict for a completion result: batch means, or per-sample (B,)
-    arrays with ``reduce=False`` (so callers can exclude padded rows)."""
+    arrays with ``reduce=False`` (so callers can exclude padded rows).
+    ``fscore_thresholds`` adds a labeled ``f_score@tau`` sweep next to the
+    primary ``f_score`` so a single arbitrary tau can't be misread."""
     out = {}
     if "chamfer_distance" in metrics:
         out["chamfer_distance"] = chamfer_distance(pred, target)
@@ -130,6 +133,10 @@ def evaluate_completion(
                                                    completion_threshold)
     if "f_score" in metrics:
         out["f_score"] = f_score(pred, target, fscore_threshold)
+        for tau in fscore_thresholds:
+            out[f"f_score@{tau:g}"] = (
+                out["f_score"] if tau == fscore_threshold
+                else f_score(pred, target, tau))
     if "emd" in metrics:
         out["emd"] = emd_sinkhorn(pred, target)
     if reduce:

@@ -188,6 +188,163 @@ def convert_agent_networks(ckpt: Dict) -> Dict[str, dict]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Export: this framework's pytrees -> reference-loadable .pth
+# (inverse of the converters above; key layout per the reference Sequentials:
+# autoencoder.py:29-54/95-108, latent_gan.py:29-47/168-193, rl_agent.py:30-48,
+# 85-101; file format per rl_gan_net.py:237-251 + rl_agent.py:369-381)
+# ---------------------------------------------------------------------------
+
+
+def _torch_tensor(x):
+    import torch
+
+    # copy: jax CPU arrays expose read-only numpy views
+    return torch.from_numpy(np.array(x, copy=True))
+
+
+def _emit_dense(sd: Dict, key: str, p: dict, *, conv: bool = False,
+                weight_name: str = "weight") -> None:
+    w = np.asarray(p["w"]).T  # ours (in, out) -> torch (out, in)
+    if conv:
+        w = w[:, :, None]  # Conv1d 1x1: (out, in, 1)
+    sd[f"{key}.{weight_name}"] = _torch_tensor(w)
+    sd[f"{key}.bias"] = _torch_tensor(p["b"])
+
+
+def _emit_bn(sd: Dict, key: str, bn_p: dict, bn_s: dict) -> None:
+    import torch
+
+    sd[f"{key}.weight"] = _torch_tensor(bn_p["scale"])
+    sd[f"{key}.bias"] = _torch_tensor(bn_p["bias"])
+    sd[f"{key}.running_mean"] = _torch_tensor(bn_s["mean"])
+    sd[f"{key}.running_var"] = _torch_tensor(bn_s["var"])
+    # unused by BN forward when momentum is set (the reference default);
+    # present because load_state_dict is strict about buffer keys
+    sd[f"{key}.num_batches_tracked"] = torch.zeros((), dtype=torch.int64)
+
+
+def export_bn_mlp(params: list, state: list, prefix: str, *,
+                  conv: bool = False) -> Dict:
+    """Inverse of convert_bn_mlp: emit torch Sequential keys. Layers with a
+    BN occupy 3 slots (Dense, BN, act); BN-less layers occupy 1 — matching
+    every reference Sequential, where only trailing layers drop the BN."""
+    sd: Dict = {}
+    pos = 0
+    for p, s in zip(params, state):
+        _emit_dense(sd, f"{prefix}.{pos}", p["dense"], conv=conv)
+        if "bn" in p:
+            _emit_bn(sd, f"{prefix}.{pos + 1}", p["bn"], s["bn"])
+            pos += 3
+        else:
+            pos += 1
+    return sd
+
+
+def export_autoencoder(ae: Dict) -> Dict:
+    """models.autoencoder pytree -> PointCloudAutoencoder.state_dict()."""
+    p, s = ae["params"], ae["state"]
+    sd = export_bn_mlp(p["encoder"]["point_mlp"], s["encoder"]["point_mlp"],
+                       "encoder.point_mlp", conv=True)
+    sd.update(export_bn_mlp(p["encoder"]["head"], s["encoder"]["head"],
+                            "encoder.global_mlp"))
+    sd.update(export_bn_mlp(p["decoder"]["mlp"], s["decoder"]["mlp"],
+                            "decoder.mlp"))
+    return sd
+
+
+def export_latent_gan(lgan: Dict) -> Dict:
+    """models.latent_gan pytree -> LatentGAN.state_dict(). Handles both the
+    spectral-norm discriminator (weight_orig/u/v) and the plain LayerNorm
+    variant; non-final layers occupy 4 Sequential slots (Linear, LayerNorm,
+    LeakyReLU, Dropout), the final Linear one."""
+    p, s = lgan["params"], lgan["state"]
+    sd = export_bn_mlp(p["generator"]["mlp"], s["generator"]["mlp"],
+                       "generator.generator")
+    prefix = "discriminator.discriminator"
+    pos = 0
+    for lp, ls in zip(p["discriminator"]["layers"],
+                      s["discriminator"]["layers"]):
+        key = f"{prefix}.{pos}"
+        if "sn" in ls:
+            _emit_dense(sd, key, lp["dense"], weight_name="weight_orig")
+            sd[f"{key}.weight_u"] = _torch_tensor(ls["sn"]["u"])
+            sd[f"{key}.weight_v"] = _torch_tensor(ls["sn"]["v"])
+        else:
+            _emit_dense(sd, key, lp["dense"])
+        if "ln" in lp:
+            sd[f"{prefix}.{pos + 1}.weight"] = _torch_tensor(
+                lp["ln"]["scale"])
+            sd[f"{prefix}.{pos + 1}.bias"] = _torch_tensor(lp["ln"]["bias"])
+            pos += 4
+        else:
+            pos += 1
+    return sd
+
+
+def export_actor(net: Dict) -> Dict:
+    return export_bn_mlp(net["params"]["mlp"], net["state"]["mlp"], "actor")
+
+
+def export_critic(net: Dict) -> Dict:
+    p, s = net["params"], net["state"]
+    sd: Dict = {}
+    for ours, theirs in (("state_fc", "state_fc1"), ("action_fc", "action_fc"),
+                         ("comb_fc1", "combined_fc1"),
+                         ("comb_fc2", "combined_fc2"),
+                         ("out_fc", "output_fc")):
+        _emit_dense(sd, theirs, p[ours])
+    for ours, theirs in (("bn1", "state_bn1"), ("bn2", "combined_bn1"),
+                         ("bn3", "combined_bn2")):
+        _emit_bn(sd, theirs, p[ours], s[ours])
+    return sd
+
+
+def _fresh_adam_state(sd: Dict, lr: float) -> Dict:
+    """A loadable fresh torch Adam state dict sized to ``sd``'s parameter
+    tensors (weights/biases; running stats and num_batches_tracked are
+    buffers). Optimizer moments are not migrated in either direction."""
+    import torch
+
+    n = sum(1 for k in sd
+            if (k.endswith(".weight") or k.endswith(".bias")
+                or k.endswith(".weight_orig"))
+            and not k.endswith("num_batches_tracked"))
+    params = [torch.nn.Parameter(torch.zeros(1)) for _ in range(n)]
+    return torch.optim.Adam(params, lr=lr).state_dict()
+
+
+def export_reference_checkpoint(model: Dict, path: str, *, epoch: int = 0,
+                                phase: str = "joint", config: Dict = None,
+                                actor_lr: float = 1e-4,
+                                critic_lr: float = 1e-3) -> str:
+    """Write this framework's model bundle as a reference-loadable .pth pair:
+    ``path`` with autoencoder+latent-GAN state dicts (rl_gan_net.py:237-251)
+    and the ``*_rl_agent.pth`` sibling with the 6 agent networks + fresh
+    optimizer states (rl_agent.py:369-381) — RLGANNet.load_checkpoint
+    consumes both unconditionally. Returns the sibling path."""
+    import torch
+
+    torch.save({
+        "epoch": epoch,
+        "phase": phase,
+        "config": config or {},
+        "autoencoder_state_dict": export_autoencoder(model["ae"]),
+        "latent_gan_state_dict": export_latent_gan(model["lgan"]),
+    }, path)
+    agent = model["agent"]
+    rl_sd = {name: (export_actor if "actor" in name else export_critic)(
+        agent[name]) for name in ("actor", "critic1", "critic2",
+                                  "actor_target", "critic1_target",
+                                  "critic2_target")}
+    rl_sd["actor_optimizer"] = _fresh_adam_state(rl_sd["actor"], actor_lr)
+    for c in ("critic1", "critic2"):
+        rl_sd[f"{c}_optimizer"] = _fresh_adam_state(rl_sd[c], critic_lr)
+    rl_path = str(path).replace(".pth", "_rl_agent.pth")
+    torch.save(rl_sd, rl_path)
+    return rl_path
+
+
 def load_reference_checkpoint(path: str) -> Dict:
     """Load a reference combined .pth (+ sibling *_rl_agent.pth if present)
     into a model bundle compatible with models.rl_gan_net.init_model."""

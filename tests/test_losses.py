@@ -90,6 +90,26 @@ def test_metrics_perfect_prediction():
     np.testing.assert_allclose(float(out["f_score"]), 1.0)
 
 
+def test_f_score_threshold_sweep():
+    """fscore_thresholds expands into labeled f_score@tau keys, monotone
+    non-decreasing in tau, with the primary threshold's entry aliasing
+    f_score (no double compute)."""
+    rng = np.random.RandomState(11)
+    pred = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    target = pred + 0.015 * jnp.asarray(
+        rng.randn(2, 128, 3).astype(np.float32))
+    out = metrics.evaluate_completion(
+        pred, target, metrics=("f_score",), fscore_threshold=0.01,
+        fscore_thresholds=(0.01, 0.02, 0.05))
+    assert set(out) == {"f_score", "f_score@0.01", "f_score@0.02",
+                        "f_score@0.05"}
+    np.testing.assert_allclose(float(out["f_score@0.01"]),
+                               float(out["f_score"]))
+    assert (float(out["f_score@0.01"]) <= float(out["f_score@0.02"])
+            <= float(out["f_score@0.05"]))
+    assert 0.0 < float(out["f_score@0.01"]) < 1.0  # noise straddles 0.01
+
+
 def test_emd_sinkhorn_sanity():
     rng = np.random.RandomState(10)
     a = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))

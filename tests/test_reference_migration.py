@@ -74,6 +74,76 @@ def test_load_reference_checkpoint(tmp_path):
                                rtol=1e-3, atol=1e-3)
 
 
+def test_export_reference_checkpoint_strict_load(tmp_path):
+    """Export direction: this framework's pytrees written as a reference
+    .pth pair must survive a STRICT load into the reference torch modules
+    (rl_gan_net.py:253-264 + rl_agent.py:383-395 consume both files) and
+    reproduce this framework's outputs from the torch side."""
+    from models.rl_agent import DDPGAgent
+
+    from gan_rl_3d_tpu.models import rl_agent as ra
+
+    config = Config()
+    model = net.init_model(jax.random.PRNGKey(2), config)
+    path = tmp_path / "export.pth"
+    rl_path = tc.export_reference_checkpoint(model, str(path), epoch=7,
+                                             phase="rl_agent")
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert (ckpt["epoch"], ckpt["phase"]) == (7, "rl_agent")
+    ae_t = PointCloudAutoencoder()
+    gan_t = LatentGAN()
+    ae_t.load_state_dict(ckpt["autoencoder_state_dict"])  # strict
+    gan_t.load_state_dict(ckpt["latent_gan_state_dict"])  # strict
+    agent_t = DDPGAgent()
+    agent_t.load(str(rl_path))  # 6 networks + 3 optimizer state dicts
+
+    x = np.random.RandomState(1).randn(2, 2048, 3).astype(np.float32)
+    ae_t.eval(), gan_t.eval(), agent_t.actor.eval()
+    with torch.no_grad():
+        gfv_t = ae_t.encode(torch.from_numpy(x))
+        recon_t = ae_t.decode(gfv_t).numpy()
+        score_t = gan_t.discriminate(gfv_t).numpy()
+        act_t = agent_t.actor(gfv_t).numpy()
+
+    td3 = config.td3_config()
+    out = net.complete(model, jnp.asarray(x), cfg=td3)
+    np.testing.assert_allclose(np.asarray(out["ae_reconstruction"]), recon_t,
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out["ae_score"]), score_t,
+                               rtol=1e-3, atol=1e-3)
+    a_ours, _ = ra.actor_apply(model["agent"]["actor"]["params"],
+                               model["agent"]["actor"]["state"],
+                               jnp.asarray(gfv_t.numpy()), cfg=td3,
+                               training=False)
+    np.testing.assert_allclose(np.asarray(a_ours), act_t,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_export_import_roundtrip():
+    """export -> load_reference_checkpoint must be the identity on every
+    exported tensor (ae, lgan incl. spectral u/v, all 6 agent networks)."""
+    import tempfile
+
+    config = Config()
+    model = net.init_model(jax.random.PRNGKey(3), config)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/rt.pth"
+        tc.export_reference_checkpoint(model, path)
+        back = tc.load_reference_checkpoint(path)
+    for section, orig in (("ae", model["ae"]), ("lgan", model["lgan"])):
+        got = back[section]
+        for a, b in zip(jax.tree.leaves(orig), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+    for name, got in back["agent_networks"].items():
+        orig = {"params": model["agent"][name]["params"],
+                "state": model["agent"][name]["state"]}
+        for a, b in zip(jax.tree.leaves(orig), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
 def test_plain_discriminator_variant():
     """spectral_norm=False selects the plain LayerNorm discriminator
     (reference LatentDiscriminator, latent_gan.py:64-104)."""
