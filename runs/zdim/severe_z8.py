@@ -10,7 +10,12 @@ regime where best3's d=1 calibrated gate earned its keep
 gate threshold on VAL under the severe spec, evaluate hybrid/rl/ae/
 oracle on TEST under the same spec.
 
-Run from runs/zdim/:  python severe_z8.py  (forces CPU)
+Run from runs/zdim/:  python severe_z8.py [checkpoint]  (forces CPU)
+
+``checkpoint`` defaults to the pre-joint ``rl_agent_final``; pass
+``joint_calibrated`` for the FAIR variant (VERDICT r3 weak #4): a D that
+postdates the agent via the phase-5.5 refresh, matching the d=1 protocol
+of runs/best3/severe_gate.py.
 """
 
 import sys
@@ -31,9 +36,11 @@ from gan_rl_3d_tpu.train import gate as gate_lib
 
 
 def main():
+    checkpoint = sys.argv[1] if len(sys.argv) > 1 else "rl_agent_final"
     config = load_config("config_z8_cpu_rl2.yaml")
     trainer = RLGANNetTrainer(config)
-    trainer.load_checkpoint("rl_agent_final")
+    trainer.load_checkpoint(checkpoint)
+    print(f"checkpoint: {checkpoint}")
     severe = dataclasses.replace(trainer.preproc, hole_min=0.5, hole_max=0.8)
 
     val_stats = gate_lib.gate_statistics(
