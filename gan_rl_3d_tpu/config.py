@@ -127,6 +127,13 @@ class JointTrainConfig:
     w_ae_recon: float = 0.0
     refresh_d_steps: int = 0
     calibrate_gate: bool = False
+    # * freeze_generator keeps G exactly as phase 3 left it (params AND
+    #   norm state; its forward runs in eval mode) while the joint loss
+    #   fine-tunes encoder/decoder around it. Motivation: joint fine-tuning
+    #   shifts G under the trained agent and degrades the per-sample
+    #   oracle itself (z8 study: 0.0255 -> 0.0338, runs/zdim/RESULTS.md
+    #   section 8) — the same pathology refresh_d_steps fixes for D.
+    freeze_generator: bool = False
 
 
 @dataclass(frozen=True)

@@ -652,7 +652,8 @@ def make_joint_optimizer(cfg: JointTrainConfig):
 @functools.partial(jax.jit, static_argnames=("optimizer", "cfg",
                                              "compute_dtype", "spec",
                                              "bidirectional", "w_ae_recon",
-                                             "selective", "bn_stats"))
+                                             "selective", "bn_stats",
+                                             "freeze_generator"))
 def joint_train_step(
     model: dict,
     opt_state,
@@ -667,6 +668,7 @@ def joint_train_step(
     w_ae_recon: float = 0.0,
     selective: bool = False,
     bn_stats: str = "centered",
+    freeze_generator: bool = False,
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """Joint fine-tune (reference train_joint_epoch,
     train_rl_gan_net.py:493-522): loss = Chamfer(decode(G(z)), complete) +
@@ -678,16 +680,27 @@ def joint_train_step(
     the AE path the hybrid gate falls back on, which the reference's joint
     loss silently degrades (its phase 5 makes the AE path *worse* than
     phase 1's; runs/best/RESULTS.md). Both GFVs then ride one (2B, .)
-    decoder pass, so the extra term costs one decode, not two."""
+    decoder pass, so the extra term costs one decode, not two.
+
+    ``freeze_generator`` keeps G exactly as phase 3 left it — params out
+    of the trainable set, norm state untouched (eval-mode forward) — so
+    the agent's learned z->GFV landscape survives phase 5 (the measured
+    pathology: joint shifts G under the trained agent and degrades the
+    per-sample oracle, runs/zdim/RESULTS.md section 8)."""
     k_data, _ = jax.random.split(key)
     complete, incomplete, mask = pc_ops.make_training_batch(
         k_data, batch["complete_pc"], do_augment=True, spec=spec)
 
-    trainable = {"ae": model["ae"]["params"],
-                 "gen": model["lgan"]["params"]["generator"]}
+    trainable = {"ae": model["ae"]["params"]}
+    if not freeze_generator:
+        trainable["gen"] = model["lgan"]["params"]["generator"]
 
     def loss_fn(tp):
         x_in = incomplete
+        if freeze_generator:
+            tp = dict(tp,
+                      gen=jax.lax.stop_gradient(
+                          model["lgan"]["params"]["generator"]))
         if compute_dtype is not None:
             if selective:
                 tp = {"ae": _policy_cast_ae_selective(tp["ae"],
@@ -706,7 +719,7 @@ def joint_train_step(
             z = jax.lax.stop_gradient(z)
             clean_gfv, gen_state = lg.generator_apply(
                 tp["gen"], model["lgan"]["state"]["generator"], z,
-                training=True)
+                training=not freeze_generator)
             if w_ae_recon > 0.0:
                 bsz = clean_gfv.shape[0]
                 both, dec_state = ae.any_decoder_apply(
@@ -739,8 +752,13 @@ def joint_train_step(
         "params": new_trainable["ae"],
         "state": {"encoder": enc_s, "decoder": dec_s},
     }
+    if freeze_generator:
+        new_gen_p = model["lgan"]["params"]["generator"]
+        gen_s = model["lgan"]["state"]["generator"]  # eval fwd left it alone
+    else:
+        new_gen_p = new_trainable["gen"]
     new_model["lgan"] = {
-        "params": {"generator": new_trainable["gen"],
+        "params": {"generator": new_gen_p,
                    "discriminator": model["lgan"]["params"]["discriminator"]},
         "state": {"generator": gen_s,
                   "discriminator": model["lgan"]["state"]["discriminator"]},
@@ -752,7 +770,8 @@ def joint_train_step(
                                              "compute_dtype",
                                              "batch_sharding", "spec",
                                              "bidirectional", "w_ae_recon",
-                                             "selective", "bn_stats"))
+                                             "selective", "bn_stats",
+                                             "freeze_generator"))
 def joint_train_epoch_resident(
     model: dict,
     opt_state,
@@ -770,6 +789,7 @@ def joint_train_epoch_resident(
     w_ae_recon: float = 0.0,
     selective: bool = False,
     bn_stats: str = "centered",
+    freeze_generator: bool = False,
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """A whole joint fine-tune epoch as one compiled scan over a
     device-resident dataset (same pattern as ae_train_epoch_resident)."""
@@ -783,7 +803,8 @@ def joint_train_epoch_resident(
             mdl, o, batch, k, optimizer=optimizer, cfg=cfg,
             compute_dtype=compute_dtype, spec=spec,
             bidirectional=bidirectional, w_ae_recon=w_ae_recon,
-            selective=selective, bn_stats=bn_stats)
+            selective=selective, bn_stats=bn_stats,
+            freeze_generator=freeze_generator)
         return (mdl, o), m["loss"]
 
     keys = jax.random.split(key, order.shape[0])

@@ -467,9 +467,13 @@ class RLGANNetTrainer:
         num_epochs = num_epochs or cfg.epochs
         print(f"\n=== PHASE 5: joint fine-tune ({num_epochs} epochs) ===")
         optimizer = steps.make_joint_optimizer(cfg)
-        opt_state = optimizer.init(
-            {"ae": self.model["ae"]["params"],
-             "gen": self.model["lgan"]["params"]["generator"]})
+        trainable = {"ae": self.model["ae"]["params"]}
+        if not cfg.freeze_generator:
+            trainable["gen"] = self.model["lgan"]["params"]["generator"]
+        else:
+            print("joint: generator FROZEN (phase-3 G preserved; "
+                  "joint.freeze_generator)")
+        opt_state = optimizer.init(trainable)
         best_val = float("inf")
         start_epoch = 0
         rst = self._restore_train_state(
@@ -495,7 +499,8 @@ class RLGANNetTrainer:
                 spec=self.preproc, bidirectional=self.bidirectional,
                 w_ae_recon=cfg.w_ae_recon,
                 selective=self.precision_selective,
-                bn_stats=self.bn_stats)
+                bn_stats=self.bn_stats,
+                freeze_generator=cfg.freeze_generator)
             train_loss = float(np.asarray(m["losses"]).mean())
 
             val_losses = []

@@ -156,6 +156,50 @@ def test_joint_step(config, model):
     assert np.isfinite(float(vm["loss"]))
 
 
+def test_joint_step_freeze_generator(config, model):
+    """joint.freeze_generator keeps G bit-identical (params AND norm
+    state) while the AE still trains; default (False) moves G."""
+    opt = steps.make_joint_optimizer(config.training.joint)
+    key = jax.random.PRNGKey(16)
+    batch = _batch(key)
+
+    def run(freeze):
+        m = model
+        tr = {"ae": m["ae"]["params"]}
+        if not freeze:
+            tr["gen"] = m["lgan"]["params"]["generator"]
+        opt_state = opt.init(tr)
+        for i in range(2):
+            m, opt_state, metrics = steps.joint_train_step(
+                m, opt_state, batch, jax.random.fold_in(key, i),
+                optimizer=opt, cfg=config.td3_config(),
+                freeze_generator=freeze)
+            assert np.isfinite(float(metrics["loss"]))
+        return m
+
+    m_frozen = run(True)
+    for a, b in zip(
+            jax.tree.leaves({"p": model["lgan"]["params"]["generator"],
+                             "s": model["lgan"]["state"]["generator"]}),
+            jax.tree.leaves({"p": m_frozen["lgan"]["params"]["generator"],
+                             "s": m_frozen["lgan"]["state"]["generator"]})):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # AE moved
+    ae_moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(model["ae"]["params"]),
+                        jax.tree.leaves(m_frozen["ae"]["params"])))
+    assert ae_moved
+    # and the default still trains G
+    m_free = run(False)
+    gen_moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree.leaves(model["lgan"]["params"]["generator"]),
+            jax.tree.leaves(m_free["lgan"]["params"]["generator"])))
+    assert gen_moved
+
+
 def test_rl_step_multi_step_episodes(config, model):
     """steps_per_episode > 1 chains episodes through generated GFVs,
     storing S*B transitions with done only on the final step."""
