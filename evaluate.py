@@ -39,6 +39,10 @@ def main():
                         help="also fold the model into a deployment engine "
                              "(f32 folded — the fastest measured path) and "
                              "save it at this path")
+    parser.add_argument("--export-pth", type=str, default=None,
+                        help="also write the checkpoint as a reference-"
+                             "loadable torch .pth pair (ae+lgan file plus "
+                             "the *_rl_agent.pth sibling) at this path")
     parser.add_argument("--ablate-z", action="store_true",
                         help="also report completion chamfer for ablated "
                              "z policies (rl / zero / random / ae-only / "
@@ -167,6 +171,13 @@ def main():
         engine = inference.prepare_inference_engine(model)
         inference.save_engine(args.export_engine, engine)
         print(f"deployment engine: {args.export_engine}")
+    if args.export_pth:
+        from gan_rl_3d_tpu.utils.torch_convert import (
+            export_reference_checkpoint)
+
+        rl_path = export_reference_checkpoint(
+            model, args.export_pth, epoch=trainer.epoch or 0, phase="joint")
+        print(f"reference .pth pair: {args.export_pth} (+ {rl_path})")
     trainer.close()
 
 
