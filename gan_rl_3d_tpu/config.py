@@ -387,7 +387,15 @@ def load_config(path: Optional[str] = None,
             raw = yaml.safe_load(f) or {}
     if overrides:
         raw = _deep_merge(raw, overrides)
-    return _build(Config, raw)
+    c = _build(Config, raw)
+    if c.model.rl_agent.action_dim != c.model.lgan.z_dim:
+        # the actor's output IS the generator's z input — a mismatch only
+        # surfaces as a shape error deep inside the composite model
+        raise ValueError(
+            f"model.rl_agent.action_dim ({c.model.rl_agent.action_dim}) "
+            f"must equal model.lgan.z_dim ({c.model.lgan.z_dim}); set both "
+            "when changing the latent action space")
+    return c
 
 
 def _deep_merge(base: Dict, extra: Dict) -> Dict:

@@ -19,10 +19,17 @@ def test_defaults():
 def test_load_own_config():
     c = load_config("configs/config.yaml")
     assert c.training.autoencoder.lr == 1e-3
-    assert c.training.lgan.d_steps == 5
+    assert c.training.lgan.d_steps == 3
     assert c.model.autoencoder.num_points == 2048
     assert c.loss.w_chamfer == 100.0
     assert "chamfer_distance" in c.evaluation.metrics
+    # the shipped flagship recipe is the validated z8 stack
+    # (runs/best5/RESULTS.md); the action space must stay consistent
+    assert c.model.lgan.z_dim == 8
+    assert c.model.rl_agent.action_dim == c.model.lgan.z_dim
+    assert c.training.rl_agent.actor_warmup == 2000
+    assert c.training.joint.calibrate_gate
+    assert c.training.joint.w_ae_recon == 1.0
 
 
 @pytest.mark.skipif(not os.path.exists("/root/reference/configs/config.yaml"),
