@@ -70,14 +70,16 @@ def main():
     @jax.jit
     def chamfer_at_z(model, zvec):
         z = jnp.broadcast_to(zvec, (n, td3.action_dim))
-        out = net.decode(model, net.generate(model, z))
+        # serving GAN branch: the gan_path snapshot when phase 5 preserved
+        # one (joint.preserve_gan_path), else the live stack
+        out = net.gan_decode(model, net.gan_generate(model, z))
         return chamfer_ops.chamfer_distance(out, complete)
 
     @jax.jit
     def agent_outputs(model):
         noisy = net.encode(model, incomplete, mask)
         z_rl = net.select_z(model, noisy, td3)
-        out = net.decode(model, net.generate(model, z_rl))
+        out = net.gan_decode(model, net.gan_generate(model, z_rl))
         return z_rl, chamfer_ops.chamfer_distance(out, complete)
 
     d = td3.action_dim

@@ -91,7 +91,9 @@ def main():
                                     maxval=td3.action_bound)
         outs = {}
         for name, z in (("rl", z_rl), ("zero", z_zero), ("random", z_rand)):
-            outs[name] = net.decode(model, net.generate(model, z))
+            # serving GAN branch (the gan_path snapshot when phase 5
+            # preserved one, else the live stack)
+            outs[name] = net.gan_decode(model, net.gan_generate(model, z))
         outs["ae_only"] = net.decode(model, noisy_gfv)
         full = net.complete(model, incomplete, mask, cfg=td3,
                             gate_mode=gate_mode, gate_bias=gate_bias)

@@ -134,6 +134,20 @@ class JointTrainConfig:
     #   oracle itself (z8 study: 0.0255 -> 0.0338, runs/zdim/RESULTS.md
     #   section 8) — the same pathology refresh_d_steps fixes for D.
     freeze_generator: bool = False
+    # * preserve_gan_path snapshots the (generator, decoder) pair at the
+    #   start of phase 5 and routes the SERVING GAN branch through the
+    #   snapshot (models.rl_gan_net.gan_generate/gan_decode) while joint
+    #   fine-tuning improves the live AE path. Motivation: the z8 study
+    #   measured that the GAN path's own oracle degrades through joint
+    #   REGARDLESS of freeze_generator (unfrozen: G shifts under the
+    #   trained agent; frozen: the decoder shifts instead — sampled
+    #   oracle 0.0233 -> ~0.032 either way, runs/best5/RESULTS.md). The
+    #   snapshot keeps the exact stack phase 4 trained the agent against,
+    #   so the hybrid gate chooses between the best-available AE path and
+    #   the best-available GAN path instead of two halves of a
+    #   compromised one. Phase 5.5's D refresh draws its fakes from the
+    #   snapshot generator so the gate's critic scores the serving stack.
+    preserve_gan_path: bool = False
 
 
 @dataclass(frozen=True)

@@ -128,6 +128,18 @@ def prepare_inference_engine(model: dict, *, dtype=jnp.float32,
         "discriminator": _fold_discriminator(lg_p["discriminator"],
                                              lg_s["discriminator"]),
     }
+    snap = model.get("gan_path")
+    if snap is not None:
+        # serving GAN branch preserved by joint.preserve_gan_path: fold its
+        # own generator/decoder; complete_fast routes the GAN branch
+        # through these (the (2B, .) shared-decoder concat no longer
+        # applies — the two branches decode through different weights)
+        engine["gan_generator"] = _fold_bn_mlp(
+            snap["generator"]["params"]["mlp"],
+            snap["generator"]["state"]["mlp"])
+        engine["gan_decoder"] = _fold_bn_mlp(
+            snap["decoder"]["params"]["mlp"],
+            snap["decoder"]["state"]["mlp"])
     engine = cast(engine)
     if quantize_int8:
         from gan_rl_3d_tpu.ops import quantize
@@ -191,14 +203,27 @@ def complete_fast(
                                                 compute_dtype=dtype,
                                                 use_kernel=use_kernel)
     z = _apply_mlp(engine["actor"], noisy_gfv, dtype, "tanh")
-    clean_gfv = _apply_mlp(engine["generator"], z, dtype, "tanh")
-    # one concat pass through the decoder (and discriminator, below) for the
-    # GAN path and the plain AE path: a (2B, .) matmul keeps the MXU busier
-    # than two back-to-back (B, .) dispatches and halves weight re-reads
-    both_gfv = jnp.concatenate([clean_gfv, noisy_gfv], axis=0)
-    both_pc = _apply_mlp(engine["decoder"], both_gfv, dtype)
-    both_pc = both_pc.reshape(2 * bsz, -1, 3)
-    completed, ae_recon = both_pc[:bsz], both_pc[bsz:]
+    if "gan_decoder" in engine:
+        # preserved serving GAN branch (joint.preserve_gan_path): its own
+        # folded generator + decoder; the shared-decoder (2B, .) concat
+        # below doesn't apply since the branches decode through different
+        # weights — two (B, .) passes instead
+        clean_gfv = _apply_mlp(engine["gan_generator"], z, dtype, "tanh")
+        completed = _apply_mlp(engine["gan_decoder"], clean_gfv,
+                               dtype).reshape(bsz, -1, 3)
+        ae_recon = _apply_mlp(engine["decoder"], noisy_gfv,
+                              dtype).reshape(bsz, -1, 3)
+        both_gfv = jnp.concatenate([clean_gfv, noisy_gfv], axis=0)
+    else:
+        clean_gfv = _apply_mlp(engine["generator"], z, dtype, "tanh")
+        # one concat pass through the decoder (and discriminator, below)
+        # for the GAN path and the plain AE path: a (2B, .) matmul keeps
+        # the MXU busier than two back-to-back (B, .) dispatches and
+        # halves weight re-reads
+        both_gfv = jnp.concatenate([clean_gfv, noisy_gfv], axis=0)
+        both_pc = _apply_mlp(engine["decoder"], both_gfv, dtype)
+        both_pc = both_pc.reshape(2 * bsz, -1, 3)
+        completed, ae_recon = both_pc[:bsz], both_pc[bsz:]
     results = {
         "noisy_gfv": noisy_gfv,
         "z_vector": z,

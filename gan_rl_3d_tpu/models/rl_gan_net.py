@@ -83,6 +83,43 @@ def generate(model: dict, z: Array) -> Array:
     return gfv
 
 
+# The SERVING GAN branch. When phase 5 ran with joint.preserve_gan_path the
+# model carries a ``gan_path`` snapshot — the generator and decoder exactly
+# as phase 4 trained the agent against them — and the serving GAN branch
+# routes through it. Rationale (measured, runs/zdim/RESULTS.md §8 and
+# runs/best5/RESULTS.md): joint fine-tuning degrades the GAN path's own
+# per-sample oracle (0.0255 -> 0.0338 at z8) whether G is frozen (the
+# decoder shifts instead) or not (G shifts under the trained agent). The
+# snapshot removes the pathology outright instead of choosing which half of
+# the stack drifts; the AE path still gets the full benefit of joint
+# fine-tuning. The reference has no counterpart — its phase 5 serves the
+# shifted stack (reference train_rl_gan_net.py:493-522).
+
+
+def gan_generate(model: dict, z: Array) -> Array:
+    """Generator of the serving GAN branch: the ``gan_path`` snapshot when
+    present, else the live LGAN generator."""
+    snap = model.get("gan_path")
+    if snap is not None:
+        gfv, _ = lg.generator_apply(snap["generator"]["params"],
+                                    snap["generator"]["state"], z,
+                                    training=False)
+        return gfv
+    return generate(model, z)
+
+
+def gan_decode(model: dict, gfv: Array) -> Array:
+    """Decoder of the serving GAN branch (snapshot-preferring twin of
+    :func:`decode`)."""
+    snap = model.get("gan_path")
+    if snap is not None:
+        pc, _ = ae.any_decoder_apply(snap["decoder"]["params"],
+                                     snap["decoder"]["state"], gfv,
+                                     training=False)
+        return pc
+    return decode(model, gfv)
+
+
 def discriminate(model: dict, gfv: Array) -> Array:
     score, _ = lg.lgan_discriminate(model["lgan"]["params"],
                                     model["lgan"]["state"], gfv,
@@ -141,8 +178,10 @@ def complete(
     noisy_gfv = encode(model, pc, mask)
     z = select_z(model, noisy_gfv, cfg, key=key, ou_state=ou_state,
                  add_noise=add_noise)
-    clean_gfv = generate(model, z)
-    completed = decode(model, clean_gfv)
+    # GAN branch through the serving stack (the ``gan_path`` snapshot when
+    # phase 5 preserved it); AE branch always through the live decoder.
+    clean_gfv = gan_generate(model, z)
+    completed = gan_decode(model, clean_gfv)
     ae_recon = decode(model, noisy_gfv)
     results = {
         "noisy_gfv": noisy_gfv,

@@ -473,6 +473,21 @@ class RLGANNetTrainer:
         else:
             print("joint: generator FROZEN (phase-3 G preserved; "
                   "joint.freeze_generator)")
+        if cfg.preserve_gan_path and "gan_path" not in self.model:
+            # snapshot the serving GAN branch exactly as phase 4 trained
+            # the agent against it (jax arrays are immutable and the joint
+            # step rebuilds — never mutates — the lgan/ae subtrees, so
+            # holding references is a true snapshot)
+            self.model["gan_path"] = {
+                "generator": {
+                    "params": self.model["lgan"]["params"]["generator"],
+                    "state": self.model["lgan"]["state"]["generator"]},
+                "decoder": {
+                    "params": self.model["ae"]["params"]["decoder"],
+                    "state": self.model["ae"]["state"]["decoder"]},
+            }
+            print("joint: serving GAN branch SNAPSHOTTED (pre-joint G + "
+                  "decoder; joint.preserve_gan_path)")
         opt_state = optimizer.init(trainable)
         best_val = float("inf")
         start_epoch = 0
@@ -563,11 +578,32 @@ class RLGANNetTrainer:
                 self.mesh,
                 jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS)))
         t0 = time.time()
+        # with a preserved serving GAN branch the gate's critic must score
+        # the generator it will actually gate — draw the refresh fakes
+        # from the snapshot G, then keep only the refreshed D in the live
+        # model (the live G stays whatever joint training left)
+        snap = self.model.get("gan_path")
+        refresh_params = self.model["lgan"]["params"]
+        refresh_state = self.model["lgan"]["state"]
+        if snap is not None:
+            print("D refresh: fakes from the PRESERVED serving generator "
+                  "(joint.preserve_gan_path)")
+            refresh_params = dict(refresh_params,
+                                  generator=snap["generator"]["params"])
+            refresh_state = dict(refresh_state,
+                                 generator=snap["generator"]["state"])
         lgan_params, lgan_state, _, m = steps.lgan_d_refresh(
-            self.model["lgan"]["params"], self.model["lgan"]["state"],
+            refresh_params, refresh_state,
             d_opt_state, real, self._next_key(), d_opt=d_opt,
             lambda_gp=lgan_cfg.lambda_gp,
             z_dim=self.config.model.lgan.z_dim)
+        if snap is not None:
+            lgan_params = dict(lgan_params,
+                               generator=self.model["lgan"]["params"]
+                               ["generator"])
+            lgan_state = dict(lgan_state,
+                              generator=self.model["lgan"]["state"]
+                              ["generator"])
         self.model["lgan"] = {"params": lgan_params, "state": lgan_state}
         d_losses = np.asarray(m["d_losses"])
         print(f"D refresh done in {time.time() - t0:.1f}s: loss "
@@ -661,21 +697,50 @@ class RLGANNetTrainer:
         if not self._gate_calibrated:
             from gan_rl_3d_tpu.train import gate as gate_lib
             gate_lib.descope_gate_calibration(str(self.checkpoint_dir), name)
-        tree = {"model": self.model,
+        # the gan_path snapshot (joint.preserve_gan_path) rides as a
+        # ``_ganpath`` sibling — like ``_trainstate`` — so the main
+        # checkpoint tree keeps one canonical structure for every phase
+        # and pre-snapshot checkpoints restore unchanged
+        model = dict(self.model)
+        gan_path = model.pop("gan_path", None)
+        tree = {"model": model,
                 "meta": {"epoch": np.int32(epoch),
                          "phase_idx": np.int32(net.PHASES.index(phase))}}
         ckpt_lib.save_checkpoint(str(path), tree, use_orbax=self.use_orbax)
+        if gan_path is not None:
+            ckpt_lib.save_checkpoint(str(path) + "_ganpath", gan_path,
+                                     use_orbax=self.use_orbax)
         if train_state is not None:
             ckpt_lib.save_checkpoint(str(path) + "_trainstate", train_state,
                                      use_orbax=self.use_orbax)
 
     def load_checkpoint(self, name: str) -> Tuple[int, str]:
         path = self.checkpoint_dir / name
-        target = {"model": self.model,
+        target_model = {k: v for k, v in self.model.items()
+                        if k != "gan_path"}
+        target = {"model": target_model,
                   "meta": {"epoch": np.int32(0), "phase_idx": np.int32(0)}}
         tree = ckpt_lib.load_checkpoint(str(path), target,
                                         use_orbax=self.use_orbax)
-        self.model = mesh_lib.shard_model_for_mesh(self.mesh, tree["model"])
+        model = tree["model"]
+        # restore the serving-GAN-branch snapshot sibling when the
+        # checkpoint carries one (joint.preserve_gan_path); drop any
+        # in-memory snapshot otherwise (loading a pre-joint checkpoint
+        # must not keep serving a stale branch)
+        gp_path = path.parent / (name + "_ganpath")
+        if gp_path.exists():
+            gp_target = {
+                "generator": {
+                    "params": model["lgan"]["params"]["generator"],
+                    "state": model["lgan"]["state"]["generator"]},
+                "decoder": {
+                    "params": model["ae"]["params"]["decoder"],
+                    "state": model["ae"]["state"]["decoder"]},
+            }
+            model = dict(model)
+            model["gan_path"] = ckpt_lib.load_checkpoint(
+                str(gp_path), gp_target, use_orbax=self.use_orbax)
+        self.model = mesh_lib.shard_model_for_mesh(self.mesh, model)
         epoch = int(tree["meta"]["epoch"])
         phase = net.PHASES[int(tree["meta"]["phase_idx"])]
         self.current_phase = phase
