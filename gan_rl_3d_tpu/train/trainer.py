@@ -710,6 +710,18 @@ class RLGANNetTrainer:
         if gan_path is not None:
             ckpt_lib.save_checkpoint(str(path) + "_ganpath", gan_path,
                                      use_orbax=self.use_orbax)
+        else:
+            # overwriting a checkpoint name without a snapshot must also
+            # remove any stale sibling a previous preserve_gan_path run
+            # left behind — otherwise load_checkpoint would silently
+            # resurrect the old serving branch (same staleness class as
+            # the gate_calibration.json descoping above)
+            gp = path.parent / (name + "_ganpath")
+            if gp.is_dir():
+                import shutil
+                shutil.rmtree(gp)
+            elif gp.exists():
+                gp.unlink()
         if train_state is not None:
             ckpt_lib.save_checkpoint(str(path) + "_trainstate", train_state,
                                      use_orbax=self.use_orbax)

@@ -160,6 +160,22 @@ def test_engine_folds_snapshot(preserve_setup):
                                atol=1e-2)
 
 
+def test_stale_ganpath_sibling_removed(preserve_setup):
+    """Re-saving a checkpoint name WITHOUT a snapshot must delete a
+    lingering _ganpath sibling from a previous preserve run — otherwise a
+    plain re-run would silently resurrect the old serving branch."""
+    config, trainer, _ = preserve_setup
+    trainer.save_checkpoint("stale_test", 0, "joint")
+    sib = trainer.checkpoint_dir / "stale_test_ganpath"
+    assert sib.exists()
+    gp = trainer.model.pop("gan_path")
+    try:
+        trainer.save_checkpoint("stale_test", 0, "joint")
+        assert not sib.exists()
+    finally:
+        trainer.model["gan_path"] = gp
+
+
 def test_d_refresh_draws_fakes_from_snapshot(preserve_setup):
     """The refresh must not overwrite the live generator with the snapshot
     (and vice versa): after phase 5.5 the live G is still the post-joint
