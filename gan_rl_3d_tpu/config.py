@@ -69,6 +69,21 @@ class AETrainConfig:
     weight_decay: float = 1e-5
     scheduler_step: int = 30
     scheduler_gamma: float = 0.1
+    # LR schedule shape: "step" = torch StepLR parity (reference
+    # train_rl_gan_net.py:186-188); "cosine" = cosine decay over the full
+    # phase (runs/ae_frontier ladder — probes past the 120-epoch recipe)
+    lr_schedule: str = "step"
+    # 3-stage easy->target hole curriculum: stage s of 3 trains with hole
+    # bounds scaled by (s+1)/3 of the configured data.hole_*_ratio range
+    # (validation always uses the full target bounds). Off by default —
+    # the reference trains at fixed 0.2-0.5 (utils/dataset.py:252-258).
+    hole_curriculum: bool = False
+
+    def __post_init__(self):
+        if self.lr_schedule not in ("step", "cosine"):
+            raise ValueError(
+                f"autoencoder.lr_schedule must be 'step' or 'cosine', "
+                f"got {self.lr_schedule!r}")
 
 
 @dataclass(frozen=True)
@@ -177,6 +192,21 @@ class TrainingConfig:
     #                           required if a data mesh has >8 shards
     #                           (group/shard alignment — see nn.py)
     bn_stats: str = "single_read_grouped"
+    # Placement of the device-resident train split during the scanned AE
+    # and joint epochs (train/trainer.py):
+    #   "replicated" — full split on every device (default; ~25 KB/cloud,
+    #                  so 12.8k clouds is ~315 MB/device — fine in 16 GB
+    #                  HBM). Any batch plan is a device-local gather.
+    #   "sharded"    — split row-sharded along the "data" mesh axis
+    #                  (1/n_data of the split per device) with a
+    #                  shard-ALIGNED shuffle: batch slot group g draws
+    #                  only rows from resident group g (fixed 8 groups,
+    #                  mirroring bn_stats single_read_grouped), so every
+    #                  gather stays device-local and the trajectory is
+    #                  identical on every mesh whose data axis divides 8.
+    #                  Use when the split stops fitting replicated
+    #                  (docs/SCALING.md "Resident-dataset memory model").
+    data_residency: str = "replicated"
     seed: int = 42
     batch_size: int = 32
     num_workers: int = 4
@@ -198,6 +228,10 @@ class TrainingConfig:
             raise ValueError(
                 f"training.bn_stats must be 'centered' or "
                 f"'single_read_grouped', got {self.bn_stats!r}")
+        if self.data_residency not in ("replicated", "sharded"):
+            raise ValueError(
+                f"training.data_residency must be 'replicated' or "
+                f"'sharded', got {self.data_residency!r}")
 
 
 @dataclass(frozen=True)

@@ -296,11 +296,20 @@ class BatchLoader:
 
     def __init__(self, dataset: ShapeNetDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0,
-                 drop_last: bool = False):
+                 drop_last: bool = False, shard_groups: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # shard_groups > 1: shard-ALIGNED shuffling for a row-sharded
+        # device-resident split (training.data_residency="sharded"). Batch
+        # slot group g draws only rows from dataset group g, both split
+        # contiguously into `shard_groups` equal parts — the same layout
+        # jax row-sharding uses — so every resident gather is device-local
+        # on any mesh whose data axis divides shard_groups, and the plan
+        # (hence the trajectory) is mesh-independent. Falls back to the
+        # unconstrained permutation when sizes don't divide evenly.
+        self.shard_groups = shard_groups
         self._rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -315,8 +324,11 @@ class BatchLoader:
         The trainer ships these few KB to the device instead of the point
         clouds themselves when the dataset is device-resident."""
         n = len(self.dataset)
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
         bs = self.batch_size
+        if self.shard_groups > 1 and n % self.shard_groups == 0 \
+                and bs % self.shard_groups == 0:
+            return self._grouped_epoch_indices(n, bs)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
         stop = (n // bs) * bs if self.drop_last else n
         all_idx, all_pad = [], []
         if stop <= 0:  # empty epoch (tiny dataset with drop_last)
@@ -332,6 +344,36 @@ class BatchLoader:
                 pad = np.concatenate([pad, np.ones((len(extra),), np.float32)])
             all_idx.append(idx)
             all_pad.append(pad)
+        return (np.stack(all_idx).astype(np.int32), np.stack(all_pad))
+
+    def _grouped_epoch_indices(self, n: int, bs: int
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Shard-aligned batch plan (see __init__): group g's slots
+        [g*bs/G, (g+1)*bs/G) draw only rows [g*n/G, (g+1)*n/G), each group
+        independently permuted by the same RNG stream. The tail batch
+        wrap-pads WITHIN each group so padded gathers stay local too."""
+        G = self.shard_groups
+        m, spg = n // G, bs // G  # rows per group, slots per group
+        perms = [g * m + (self._rng.permutation(m) if self.shuffle
+                          else np.arange(m)) for g in range(G)]
+        stop = (m // spg) * spg if self.drop_last else m
+        if stop <= 0:
+            return (np.zeros((0, bs), np.int32), np.zeros((0, bs), np.float32))
+        all_idx, all_pad = [], []
+        for start in range(0, stop, spg):
+            chunks, pads = [], []
+            for g in range(G):
+                idx = perms[g][start:start + spg]
+                pad = np.zeros((len(idx),), np.float32)
+                if len(idx) < spg:  # wrap within the group
+                    extra = np.resize(perms[g], spg - len(idx))
+                    idx = np.concatenate([idx, extra])
+                    pad = np.concatenate(
+                        [pad, np.ones((len(extra),), np.float32)])
+                chunks.append(idx)
+                pads.append(pad)
+            all_idx.append(np.concatenate(chunks))
+            all_pad.append(np.concatenate(pads))
         return (np.stack(all_idx).astype(np.int32), np.stack(all_pad))
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

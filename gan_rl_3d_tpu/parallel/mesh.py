@@ -51,6 +51,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Fixed group count for shard-aligned resident-data shuffling
+# (training.data_residency="sharded"): the same 8-way contract as
+# nn._BN_GROUPS — plans are computed for 8 groups regardless of mesh, so
+# trajectories are mesh-independent and gathers are device-local on any
+# data axis that divides 8 (larger meshes still run, with cross-device
+# gathers inside each group — values identical, just slower).
+DATA_SHARD_GROUPS = 8
+
+
+def row_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
+    """Shard a device-resident dataset's leading (sample) axis along
+    "data" — 1/n_data of the split per device instead of a full replica
+    (docs/SCALING.md "Resident-dataset memory model")."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
 def shard_batch(mesh: Mesh, tree, *, process_local: bool = False):
     """Device-put every array in a batch pytree, sharded on the batch axis.
 

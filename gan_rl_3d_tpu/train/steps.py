@@ -17,6 +17,12 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 import optax
+from jax.sharding import PartitionSpec as P
+
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from gan_rl_3d_tpu.config import (AETrainConfig, JointTrainConfig,
                                   LGANTrainConfig)
@@ -62,9 +68,14 @@ def make_ae_optimizer(cfg: AETrainConfig,
     torch.optim.Adam(weight_decay) adds wd*p to the gradient *before* the
     Adam moments (train_rl_gan_net.py:178-188)."""
 
-    def schedule(count):
-        epoch = count // max(steps_per_epoch, 1)
-        return cfg.lr * (cfg.scheduler_gamma ** (epoch // cfg.scheduler_step))
+    if cfg.lr_schedule == "cosine":
+        schedule = optax.cosine_decay_schedule(
+            cfg.lr, decay_steps=max(cfg.epochs * steps_per_epoch, 1))
+    else:
+        def schedule(count):
+            epoch = count // max(steps_per_epoch, 1)
+            return cfg.lr * (
+                cfg.scheduler_gamma ** (epoch // cfg.scheduler_step))
 
     return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
@@ -234,11 +245,40 @@ def _shard_gathered_batch(batch, batch_sharding):
     }
 
 
+def _resident_gather(data: Array, idx: Array, batch_sharding,
+                     data_sharded: bool) -> Array:
+    """Gather one batch from the device-resident train split.
+
+    Replicated residency (default): a plain device-local take. Sharded
+    residency (training.data_residency="sharded"): the operand is
+    row-sharded along "data" and a plain gather would make GSPMD
+    all-gather the full split per step — so gather inside shard_map,
+    where each shard takes only ITS slots' rows. The shard-aligned batch
+    plan (BatchLoader._grouped_epoch_indices) guarantees slot shard d's
+    indices fall inside row shard d, making `idx - shard_offset` local by
+    construction (out-of-range indices would clamp silently — the
+    tests/test_sharding.py residency-equality test is the guard)."""
+    if not data_sharded or batch_sharding is None:
+        return data[idx]
+    mesh = batch_sharding.mesh
+    n_data = mesh.shape["data"]
+    rows = data.shape[0] // n_data
+
+    def local_take(d, i):
+        return d[i - jax.lax.axis_index("data") * rows]
+
+    return shard_map(
+        local_take, mesh=mesh,
+        in_specs=(P("data"), P("data")), out_specs=P("data"),
+        check_vma=False)(data, idx)
+
+
 @functools.partial(jax.jit, static_argnames=("optimizer", "augment",
                                              "compute_dtype",
                                              "batch_sharding", "spec",
                                              "recon_loss", "bidirectional",
-                                             "selective", "bn_stats"))
+                                             "selective", "bn_stats",
+                                             "data_sharded"))
 def ae_train_epoch_resident(
     params: dict,
     bn_state: dict,
@@ -257,6 +297,7 @@ def ae_train_epoch_resident(
     bidirectional: bool = True,
     selective: bool = False,
     bn_stats: str = "centered",
+    data_sharded: bool = False,
 ) -> Tuple[dict, dict, object, Dict[str, Array]]:
     """AE epoch over a device-resident dataset: the host sends only the
     shuffled index matrix per epoch (S, B) int32 — a few KB — instead of
@@ -272,8 +313,10 @@ def ae_train_epoch_resident(
     def body(carry, inp):
         p, s, o = carry
         idx, pad, k = inp
-        batch = _shard_gathered_batch({"complete_pc": data[idx], "pad": pad},
-                                      batch_sharding)
+        batch = _shard_gathered_batch(
+            {"complete_pc": _resident_gather(data, idx, batch_sharding,
+                                             data_sharded),
+             "pad": pad}, batch_sharding)
         p, s, o, m = ae_train_step.__wrapped__(
             p, s, o, batch, k, optimizer=optimizer, augment=augment,
             compute_dtype=compute_dtype, spec=spec, recon_loss=recon_loss,
@@ -771,7 +814,8 @@ def joint_train_step(
                                              "batch_sharding", "spec",
                                              "bidirectional", "w_ae_recon",
                                              "selective", "bn_stats",
-                                             "freeze_generator"))
+                                             "freeze_generator",
+                                             "data_sharded"))
 def joint_train_epoch_resident(
     model: dict,
     opt_state,
@@ -790,6 +834,7 @@ def joint_train_epoch_resident(
     selective: bool = False,
     bn_stats: str = "centered",
     freeze_generator: bool = False,
+    data_sharded: bool = False,
 ) -> Tuple[dict, object, Dict[str, Array]]:
     """A whole joint fine-tune epoch as one compiled scan over a
     device-resident dataset (same pattern as ae_train_epoch_resident)."""
@@ -797,8 +842,10 @@ def joint_train_epoch_resident(
     def body(carry, inp):
         mdl, o = carry
         idx, pad, k = inp
-        batch = _shard_gathered_batch({"complete_pc": data[idx], "pad": pad},
-                                      batch_sharding)
+        batch = _shard_gathered_batch(
+            {"complete_pc": _resident_gather(data, idx, batch_sharding,
+                                             data_sharded),
+             "pad": pad}, batch_sharding)
         mdl, o, m = joint_train_step.__wrapped__(
             mdl, o, batch, k, optimizer=optimizer, cfg=cfg,
             compute_dtype=compute_dtype, spec=spec,

@@ -85,6 +85,11 @@ class RLGANNetTrainer:
         self.epoch = 0
         self.current_phase = "autoencoder"
         self.gfvs: Optional[Dict[str, np.ndarray]] = None
+        # GFV cache lives under THIS run's checkpoint dir (advisor r4: the
+        # old shared data_dir/gfv location let concurrent chains clobber
+        # each other's extractions); _load_gfvs still reads a legacy
+        # data_dir copy when the run-local one is absent.
+        self._gfv_path = self.checkpoint_dir / "gfv" / "gfvs_train.npz"
         # mid-phase resume bookkeeping: set by load_checkpoint, consumed by
         # the phase whose name matches (see _restore_train_state)
         self._resume: Optional[Dict[str, object]] = None
@@ -110,6 +115,11 @@ class RLGANNetTrainer:
         if not (data_dir / "train").exists():
             fractions = (cfg.data.train_split, cfg.data.val_split,
                          cfg.data.test_split)
+        # sharded residency needs the shard-aligned shuffle so resident
+        # gathers stay device-local (mesh.DATA_SHARD_GROUPS contract)
+        groups = (mesh_lib.DATA_SHARD_GROUPS
+                  if cfg.training.data_residency == "sharded" else 1)
+
         def make_loader(split, shuffle):
             return BatchLoader(
                 ShapeNetDataset(str(data_dir), split,
@@ -117,7 +127,8 @@ class RLGANNetTrainer:
                                 seed=cfg.training.seed,
                                 split_fractions=fractions,
                                 workers=cfg.training.num_workers),
-                bs, shuffle=shuffle, seed=cfg.training.seed)
+                bs, shuffle=shuffle, seed=cfg.training.seed,
+                shard_groups=groups if shuffle else 1)
 
         self.train_loader = make_loader("train", True)
         # best-checkpoint selection uses the val split when it has data;
@@ -133,6 +144,30 @@ class RLGANNetTrainer:
 
     def _put(self, batch):
         return mesh_lib.shard_batch(self.mesh, batch)
+
+    def _resident_train_data(self):
+        """The train split placed on device for the scanned AE/joint
+        epochs, as ``(array, data_sharded)``: replicated by default;
+        row-sharded along "data" when training.data_residency="sharded"
+        AND the shard-aligned batch plan holds (every group inside one row
+        shard — see BatchLoader.shard_groups / steps._resident_gather).
+        Misaligned sizes fall back to replication rather than to a slow or
+        silently-clamping gather."""
+        data = self.train_loader.dataset.as_array()
+        n, bs = len(data), self.train_loader.batch_size
+        n_data = self.mesh.shape[mesh_lib.DATA_AXIS]
+        groups = self.train_loader.shard_groups
+        aligned = (self.config.training.data_residency == "sharded"
+                   and groups > 1 and n % groups == 0 and bs % groups == 0
+                   and groups % n_data == 0)
+        if aligned:
+            return (jax.device_put(data, mesh_lib.row_sharding(self.mesh)),
+                    True)
+        if self.config.training.data_residency == "sharded":
+            print(f"data_residency=sharded: sizes (n={n}, B={bs}, "
+                  f"mesh data={n_data}) not aligned to "
+                  f"{mesh_lib.DATA_SHARD_GROUPS} groups; replicating")
+        return jax.device_put(data, mesh_lib.replicated(self.mesh)), False
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -166,8 +201,7 @@ class RLGANNetTrainer:
         # the train split lives on device for the whole phase; per epoch
         # only the shuffled batch-index plan (a few KB) crosses the host
         # link, and the epoch runs as ONE compiled scan
-        data_dev = jax.device_put(self.train_loader.dataset.as_array(),
-                                  mesh_lib.replicated(self.mesh))
+        data_dev, data_sharded = self._resident_train_data()
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             order, pads = self.train_loader.epoch_indices()
@@ -177,8 +211,10 @@ class RLGANNetTrainer:
                 self._next_key(), optimizer=optimizer,
                 compute_dtype=self.compute_dtype,
                 batch_sharding=mesh_lib.batch_sharding(self.mesh),
-                spec=self.preproc, recon_loss=self.recon_loss,
+                spec=self._ae_train_spec(epoch, num_epochs),
+                recon_loss=self.recon_loss,
                 bidirectional=self.bidirectional,
+                data_sharded=data_sharded,
                 selective=self.precision_selective,
                 bn_stats=self.bn_stats)
             losses = np.asarray(m["losses"])
@@ -215,6 +251,21 @@ class RLGANNetTrainer:
         print(f"AE done; best val loss {best_val:.6f}")
         return best_val
 
+    def _ae_train_spec(self, epoch: int, num_epochs: int):
+        """Per-epoch AE preprocessing spec. With
+        autoencoder.hole_curriculum, the hole bounds scale easy->target in
+        3 equal stages ((s+1)/3 of the configured range) — 3 distinct
+        static specs, so the resident epoch compiles exactly 3 times.
+        Validation always uses the full target spec (self.preproc)."""
+        if not self.config.training.autoencoder.hole_curriculum:
+            return self.preproc
+        import dataclasses as _dc
+        stage = min(3 * epoch // max(num_epochs, 1), 2)
+        frac = (stage + 1) / 3.0
+        return _dc.replace(self.preproc,
+                           hole_min=round(self.preproc.hole_min * frac, 6),
+                           hole_max=round(self.preproc.hole_max * frac, 6))
+
     def _validate_ae(self, params, bn_state) -> float:
         losses = []
         val_key = jax.random.PRNGKey(0)  # fixed holes for comparable epochs
@@ -245,16 +296,16 @@ class RLGANNetTrainer:
             noisy_all.append(np.asarray(noisy)[keep])
         self.gfvs = {"clean": np.concatenate(clean_all),
                      "noisy": np.concatenate(noisy_all)}
-        gfv_dir = Path(self.config.data.data_dir) / "gfv"
-        gfv_dir.mkdir(parents=True, exist_ok=True)
-        np.savez(gfv_dir / "gfvs_train.npz", **self.gfvs)
+        self._gfv_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(self._gfv_path, **self.gfvs)
         print(f"extracted {len(self.gfvs['clean'])} GFV pairs "
-              f"-> {gfv_dir / 'gfvs_train.npz'}")
+              f"-> {self._gfv_path}")
         return self.gfvs
 
     def _load_gfvs(self) -> Dict[str, np.ndarray]:
         if self.gfvs is None:
-            path = Path(self.config.data.data_dir) / "gfv" / "gfvs_train.npz"
+            legacy = Path(self.config.data.data_dir) / "gfv" / "gfvs_train.npz"
+            path = self._gfv_path if self._gfv_path.exists() else legacy
             if path.exists():
                 loaded = np.load(path)
                 self.gfvs = {"clean": loaded["clean"],
@@ -500,8 +551,7 @@ class RLGANNetTrainer:
             start_epoch = int(rst["epoch"]) + 1
 
         # device-resident data + one scan per epoch (see train_autoencoder)
-        data_dev = jax.device_put(self.train_loader.dataset.as_array(),
-                                  mesh_lib.replicated(self.mesh))
+        data_dev, data_sharded = self._resident_train_data()
         for epoch in range(start_epoch, num_epochs):
             t0 = time.time()
             order, pads = self.train_loader.epoch_indices()
@@ -515,7 +565,8 @@ class RLGANNetTrainer:
                 w_ae_recon=cfg.w_ae_recon,
                 selective=self.precision_selective,
                 bn_stats=self.bn_stats,
-                freeze_generator=cfg.freeze_generator)
+                freeze_generator=cfg.freeze_generator,
+                data_sharded=data_sharded)
             train_loss = float(np.asarray(m["losses"]).mean())
 
             val_losses = []

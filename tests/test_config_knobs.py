@@ -184,3 +184,62 @@ def test_use_wandb_degrades_gracefully(tmp_path, caplog):
         assert any("wandb" in r.message for r in caplog.records)
     lg.log_scalar("AE/Train_Loss", 1.0, 0)
     lg.close()
+
+
+def test_ae_lr_schedule_knob():
+    """autoencoder.lr_schedule="cosine" must change the optimizer's LR
+    trajectory (vs torch-parity StepLR) and reject unknown values."""
+    import optax
+    from gan_rl_3d_tpu.train import steps
+
+    step_cfg = load_config(None, overrides={
+        "training": {"autoencoder": {"epochs": 4, "scheduler_step": 1,
+                                     "scheduler_gamma": 0.5}}})
+    cos_cfg = load_config(None, overrides={
+        "training": {"autoencoder": {"epochs": 4, "lr_schedule": "cosine"}}})
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+
+    def lr_trace(cfg):
+        opt = steps.make_ae_optimizer(cfg.training.autoencoder, 1)
+        state = opt.init(params)
+        seen = []
+        p = params
+        for _ in range(4):
+            upd, state = opt.update(grads, state, p)
+            seen.append(float(-upd["w"][0]))  # ~lr for unit adam-scaled grad
+            p = optax.apply_updates(p, upd)
+        return seen
+
+    s, c = lr_trace(step_cfg), lr_trace(cos_cfg)
+    assert not np.allclose(s, c)
+    assert c[0] > c[-1] > 0  # cosine decays monotonically here
+    with pytest.raises(ValueError):
+        load_config(None, overrides={
+            "training": {"autoencoder": {"lr_schedule": "linear"}}})
+
+
+def test_ae_hole_curriculum_stages():
+    """hole_curriculum scales the train-time hole bounds in 3 easy->target
+    stages while validation keeps the full spec."""
+    from gan_rl_3d_tpu.train.trainer import RLGANNetTrainer
+
+    cfg = load_config(None, overrides={
+        "training": {"autoencoder": {"hole_curriculum": True}},
+        "data": {"hole_min_ratio": 0.3, "hole_max_ratio": 0.6}})
+    spec = cfg.preproc_spec()
+
+    class _Stub:
+        config = cfg
+        preproc = spec
+
+    got = [RLGANNetTrainer._ae_train_spec(_Stub(), e, 9) for e in range(9)]
+    assert [g.hole_max for g in got[:3]] == [pytest.approx(0.2)] * 3
+    assert [g.hole_max for g in got[3:6]] == [pytest.approx(0.4)] * 3
+    assert got[8].hole_max == pytest.approx(0.6)
+    assert got[8].hole_min == pytest.approx(0.3)
+    assert len({id(g) for g in got}) >= 3  # distinct static specs
+    # off by default: identity
+    cfg2 = load_config(None)
+    _Stub.config, _Stub.preproc = cfg2, cfg2.preproc_spec()
+    assert RLGANNetTrainer._ae_train_spec(_Stub(), 5, 9) is _Stub.preproc

@@ -441,3 +441,73 @@ def test_centered_fallback_trains_equivalently_on_16_devices():
                        capture_output=True, text=True, timeout=900)
     assert p.returncode == 0, f"stdout:\n{p.stdout}\nstderr:\n{p.stderr}"
     assert "16-device centered equivalence ok" in p.stdout
+
+
+def test_grouped_epoch_plan_is_shard_aligned():
+    """BatchLoader(shard_groups=G) must (a) cover every row exactly once
+    across the epoch's non-pad slots and (b) keep slot group g's draws
+    inside row group g — the invariant steps._resident_gather's local
+    take relies on."""
+    from gan_rl_3d_tpu.data.dataset import BatchLoader
+
+    class _FakeDS:
+        def __len__(self):
+            return 48
+
+    G, bs = 8, 16
+    loader = BatchLoader(_FakeDS(), bs, shuffle=True, seed=3, shard_groups=G)
+    idx, pad = loader.epoch_indices()
+    assert idx.shape == (3, bs) and pad.shape == (3, bs)
+    real = idx[pad == 0]
+    assert sorted(real.tolist()) == list(range(48))
+    m, spg = 48 // G, bs // G
+    for g in range(G):
+        draws = idx[:, g * spg:(g + 1) * spg]
+        assert draws.min() >= g * m and draws.max() < (g + 1) * m
+    # misaligned sizes fall back to the unconstrained permutation
+    loader_bad = BatchLoader(_FakeDS(), 12, shuffle=True, seed=3,
+                             shard_groups=G)
+    idx_b, pad_b = loader_bad.epoch_indices()
+    assert sorted(idx_b[pad_b == 0].tolist()) == list(range(48))
+
+
+def test_sharded_residency_matches_replicated():
+    """training.data_residency="sharded": row-sharded resident data + the
+    shard_map local gather must reproduce the replicated-residency
+    trajectory exactly (same grouped plan, different placement)."""
+    from gan_rl_3d_tpu.data.dataset import BatchLoader
+
+    config = load_config(None, overrides=OVERRIDES)
+    model = net.init_model(jax.random.PRNGKey(0), config)
+    opt = steps.make_ae_optimizer(config.training.autoencoder, 4)
+    params, state = model["ae"]["params"], model["ae"]["state"]
+    key = jax.random.PRNGKey(9)
+    data = jax.random.normal(key, (64, N_POINTS, 3))
+
+    class _FakeDS:
+        def __len__(self):
+            return 64
+
+    loader = BatchLoader(_FakeDS(), 16, shuffle=True, seed=5,
+                         shard_groups=mesh_lib.DATA_SHARD_GROUPS)
+    order, pads = loader.epoch_indices()
+    order, pads = jnp.asarray(order), jnp.asarray(pads)
+    mesh = mesh_lib.make_mesh()
+    bsh = mesh_lib.batch_sharding(mesh)
+
+    def run(data_dev, data_sharded):
+        return steps.ae_train_epoch_resident(
+            jax.device_put(params, mesh_lib.replicated(mesh)),
+            jax.device_put(state, mesh_lib.replicated(mesh)),
+            jax.device_put(opt.init(params), mesh_lib.replicated(mesh)),
+            data_dev, order, pads, key, optimizer=opt, augment=False,
+            batch_sharding=bsh, data_sharded=data_sharded)
+
+    p_rep, _, _, m_rep = run(
+        jax.device_put(data, mesh_lib.replicated(mesh)), False)
+    p_sh, _, _, m_sh = run(
+        jax.device_put(data, mesh_lib.row_sharding(mesh)), True)
+    np.testing.assert_allclose(np.asarray(m_sh["losses"]),
+                               np.asarray(m_rep["losses"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_rep), jax.tree.leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
