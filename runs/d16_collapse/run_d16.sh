@@ -13,10 +13,15 @@ set -x
 cd "$(dirname "$0")"
 
 if [ ! -d ckpt_base/lgan_final ]; then
-    mkdir -p ckpt_base
-    cp -r ../best6/checkpoints/autoencoder_best ckpt_base/ 2>/dev/null
+    # transplant ONLY the AE (z-independent) into a fresh d16 model —
+    # resuming best6's full checkpoint drags its z8 LGAN/agent params in
+    # (shape crash; same pitfall round 4 hit, runs/zdim/seed_ae_generic.py)
+    python /root/repo/runs/zdim/seed_ae_generic.py \
+        --source-config /root/repo/runs/best6/config_best6.yaml \
+        --source-ckpt /root/repo/runs/best6/checkpoints/autoencoder_best \
+        --target-config config_d16_base.yaml
     python /root/repo/train_rl_gan_net.py --config config_d16_base.yaml \
-        --phase lgan --resume autoencoder_best 2>&1 | tee lgan_d16.log
+        --phase lgan --resume seed_ae 2>&1 | tee lgan_d16.log
 fi
 rm -rf ckpt_slow && mkdir ckpt_slow
 cp -r ckpt_base/lgan_final ckpt_slow/
