@@ -324,6 +324,11 @@ class ModelConfig:
     #     vs 0.0463 for the plain RL path on held-out data).
     #   "rl" — always the RL/GAN path (decode(G(z_rl))).
     #   "ae" — always the plain AE reconstruction.
+    #   "union" — per-point fusion: both paths' points concatenated,
+    #     (B, 2N, 3) at DOUBLE the output budget. Beats pure AE by ~7%
+    #     on the best7 flagship (runs/best7/RESULTS.md) but loses when
+    #     the GAN path lags (runs/best6 fusion study) — explicit opt-in,
+    #     never calibration-selected.
     gate_mode: str = "discriminator"
     # D-gate decision threshold: GAN path chosen when D(clean) > D(noisy)
     # + gate_bias. 0.0 = the reference's raw comparison; the trainer's
@@ -333,10 +338,10 @@ class ModelConfig:
     gate_bias: float = 0.0
 
     def __post_init__(self):
-        if self.gate_mode not in ("discriminator", "rl", "ae"):
+        if self.gate_mode not in ("discriminator", "rl", "ae", "union"):
             raise ValueError(
-                f"model.gate_mode must be 'discriminator', 'rl' or 'ae', "
-                f"got {self.gate_mode!r}")
+                f"model.gate_mode must be 'discriminator', 'rl', 'ae' or "
+                f"'union', got {self.gate_mode!r}")
 
 
 @dataclass(frozen=True)

@@ -186,8 +186,11 @@ def complete_fast(
     overlaps MXU/VPU across layers better than the monolithic kernel tile);
     bf16 goes through the Pallas VMEM-resident kernel; an int8 bundle
     (``encoder_q``) uses the quantized kernel. Override with
-    ``use_kernel``."""
-    if gate_mode not in ("discriminator", "rl", "ae"):
+    ``use_kernel``.
+
+    ``gate_mode="union"`` mirrors rl_gan_net.complete: per-point fusion,
+    (B, 2N, 3) output at double the point budget."""
+    if gate_mode not in ("discriminator", "rl", "ae", "union"):
         raise ValueError(f"invalid gate_mode {gate_mode!r}")
     bsz = pc.shape[0]
     if "encoder_q" in engine:
@@ -236,6 +239,9 @@ def complete_fast(
             results["hybrid_output"] = completed
         elif gate_mode == "ae":
             results["hybrid_output"] = ae_recon
+        elif gate_mode == "union":
+            results["hybrid_output"] = jnp.concatenate(
+                [completed, ae_recon], axis=1)
         else:  # "discriminator"
             both_scores = _apply_discriminator(engine["discriminator"],
                                                both_gfv, dtype)

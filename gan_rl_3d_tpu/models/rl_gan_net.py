@@ -172,8 +172,16 @@ def complete(
     chosen when D(clean) > D(noisy) + bias. Calibrated on the val split by
     train.gate.calibrate_gate after the discriminator refresh; 0.0 is the
     reference's raw comparison.
+
+    ``gate_mode="union"`` is per-POINT fusion: ``hybrid_output`` is the
+    concatenation of both paths' points — (B, 2N, 3), DOUBLE the output
+    budget. Measured on the best7 flagship (runs/best7/RESULTS.md) the
+    union beats pure AE by ~7% test chamfer (0.0211 vs 0.0227) because
+    the joint-repaired GAN path covers complementary regions; on stacks
+    whose GAN path lags badly it LOSES (runs/best6 fusion study), so it
+    is an explicit serving choice, never calibration-selected.
     """
-    if gate_mode not in ("discriminator", "rl", "ae"):
+    if gate_mode not in ("discriminator", "rl", "ae", "union"):
         raise ValueError(f"invalid gate_mode {gate_mode!r}")
     noisy_gfv = encode(model, pc, mask)
     z = select_z(model, noisy_gfv, cfg, key=key, ou_state=ou_state,
@@ -195,6 +203,9 @@ def complete(
             results["hybrid_output"] = completed
         elif gate_mode == "ae":
             results["hybrid_output"] = ae_recon
+        elif gate_mode == "union":
+            results["hybrid_output"] = jnp.concatenate(
+                [completed, ae_recon], axis=1)
         else:  # "discriminator"
             rl_score = discriminate(model, clean_gfv)
             ae_score = discriminate(model, noisy_gfv)

@@ -216,6 +216,15 @@ def test_gate_modes():
     np.testing.assert_array_equal(np.asarray(out_ae["hybrid_output"]),
                                   np.asarray(out_ae["ae_reconstruction"]))
 
+    # "union" = per-point fusion: both paths concatenated, 2N points
+    out_un = net.complete(model, pc, cfg=td3, gate_mode="union")
+    assert out_un["hybrid_output"].shape == (2, 4096, 3)
+    np.testing.assert_array_equal(
+        np.asarray(out_un["hybrid_output"]),
+        np.concatenate([np.asarray(out_un["completed_pc"]),
+                        np.asarray(out_un["ae_reconstruction"])], axis=1))
+    assert "rl_gan_score" not in out_un  # D never evaluated
+
     with pytest.raises(ValueError):
         net.complete(model, pc, cfg=td3, gate_mode="nope")
 
@@ -226,12 +235,18 @@ def test_gate_modes():
     fast_rl = inference.complete_fast(engine, pc, gate_mode="rl")
     np.testing.assert_array_equal(np.asarray(fast_rl["hybrid_output"]),
                                   np.asarray(fast_rl["completed_pc"]))
+    fast_un = inference.complete_fast(engine, pc, gate_mode="union")
+    assert fast_un["hybrid_output"].shape == (2, 4096, 3)
+    np.testing.assert_array_equal(
+        np.asarray(fast_un["hybrid_output"]),
+        np.concatenate([np.asarray(fast_un["completed_pc"]),
+                        np.asarray(fast_un["ae_reconstruction"])], axis=1))
 
     # config validation
     from gan_rl_3d_tpu.config import load_config
 
-    cfg = load_config(overrides={"model": {"gate_mode": "rl"}})
-    assert cfg.model.gate_mode == "rl"
+    cfg = load_config(overrides={"model": {"gate_mode": "union"}})
+    assert cfg.model.gate_mode == "union"
     with pytest.raises(ValueError):
         load_config(overrides={"model": {"gate_mode": "bogus"}})
 
