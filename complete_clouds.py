@@ -58,6 +58,9 @@ def _build_fn(args, config):
         default_mode=config.model.gate_mode,
         default_bias=config.model.gate_bias,
         verbose=True)
+    if args.gate_mode is not None:
+        gate_mode = args.gate_mode
+        print(f"gate mode forced by --gate-mode: {gate_mode}")
     if args.engine:
         from gan_rl_3d_tpu.models import inference
 
@@ -187,6 +190,11 @@ def main():
                         help="exported deployment engine (.pkl) — used "
                              "instead of a checkpoint when given")
     parser.add_argument("--output-dir", type=str, default="./completed")
+    parser.add_argument("--gate-mode", type=str, default=None,
+                        choices=["discriminator", "rl", "ae", "union"],
+                        help="force a gate mode over config + calibration "
+                             "sidecar; 'union' = per-point fusion, 2N-point "
+                             "output (runs/best7/RESULTS.md)")
     parser.add_argument("--output", type=str, default="hybrid_output",
                         choices=["hybrid_output", "completed_pc",
                                  "ae_reconstruction"])

@@ -53,6 +53,12 @@ def main():
                              "distance,hausdorff_distance,completion_ratio,"
                              "f_score,emd); default: evaluation.metrics "
                              "from the config")
+    parser.add_argument("--gate-mode", type=str, default=None,
+                        choices=["discriminator", "rl", "ae", "union"],
+                        help="force a gate mode, overriding BOTH the "
+                             "config and the calibration sidecar — the "
+                             "opt-in path to 'union' per-point fusion "
+                             "(2N-point output; runs/best7/RESULTS.md)")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -74,6 +80,9 @@ def main():
     if (gate_mode, gate_bias) != (config.model.gate_mode,
                                   config.model.gate_bias):
         print(f"using calibrated gate: mode={gate_mode} bias={gate_bias:.4f}")
+    if args.gate_mode is not None:
+        gate_mode = args.gate_mode
+        print(f"gate mode forced by --gate-mode: {gate_mode}")
     complete_fn = jax.jit(
         lambda m, x, mask: net.complete(m, x, mask, cfg=td3,
                                         gate_mode=gate_mode,
