@@ -33,7 +33,8 @@ def served(tmp_path_factory):
     inference.save_engine(str(eng_path), engine)
     args = argparse.Namespace(engine=str(eng_path), checkpoint=None,
                               output="hybrid_output", batch_size=2,
-                              poll_interval=0.01, settle=0.0, max_files=None)
+                              poll_interval=0.01, settle=0.0, max_files=None,
+                              gate_mode=None)
     fn, weights = cc._build_fn(args, config)
     return config, args, fn, weights
 
